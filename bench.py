@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports ``asof_seq_per_sec`` — the north-rule throughput metric: rows/sec
+of the strict as-of join + feature-derivation job over the synthesized
+tokenized-sequence table (see feathr_online_spark/datagen.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ", "1000000"))
+
+
+def north_rule_job(spark, seq_path: str, feat_path: str):
+    """The headline job: strict as-of join of tokenized sequences against the
+    feature table + windowed derivations (rolling history count, session id,
+    forward-filled scalar) + token-level derived features — all JVM-side.
+
+    Plan shape (verified via .explain): ONE Exchange + ONE Sort serve the as-of
+    window AND all three feature windows (their [entity, event_time] ordering
+    is a prefix of the as-of sort).  Token-derived features are computed
+    BEFORE the exchange and the raw ``tokens`` array is dropped, so the
+    shuffle/sort move ~100 B rows instead of ~1 KB — at 100 TB that is the
+    difference between shuffling 100 TB and shuffling 10 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.asof import asof_join
+    from feathr_online_spark.operators.windows import forward_fill, rolling, sessionize
+
+    seq = spark.read.parquet(seq_path).select(
+        "doc_id", "entity", "event_time", "n_tok", "source",
+        # derive token features map-side, pre-shuffle; drop the wide array
+        (F.col("n_tok") / F.size("tokens")).alias("tok_ratio"),
+        F.xxhash64("tokens").alias("tok_fingerprint"),
+    )
+    feat = spark.read.parquet(feat_path)
+    joined = asof_join(seq, feat, on="entity", left_ts="event_time",
+                       right_ts="feature_time", strict=True)
+    enriched = rolling(joined, {"hist_n": ("n_tok", "count")}, rows=16, include_current=False)
+    enriched = sessionize(enriched, gap_seconds=3600)
+    enriched = forward_fill(enriched, ["f_scalar"])
+    return enriched.select(
+        "doc_id", "entity", "event_time", "n_tok", "source",
+        "session_id", "hist_n", "f_scalar",
+        F.aggregate("f_vec", F.lit(0.0), lambda a, x: a + x).alias("f_vec_sum"),
+        "tok_ratio", "tok_fingerprint",
+    )
+
+
+def main() -> None:
+    from feathr_online_spark.session import get_spark
+    from feathr_online_spark import datagen
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="feathr_online_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_full(df) -> None:
+        # noop sink: materializes EVERY output column (count() would let
+        # Catalyst prune the derived ones away) without writing anything
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        run_full(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # north-rule throughput: as-of + derivation over N_SEQ synthesized rows
+    fix = datagen.write_fixture(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                             ".fixtures", "bench"), n_seq=N_SEQ)
+    out = north_rule_job(spark, fix["sequences"], fix["features"])
+    n_out = out.count()  # row count for the throughput denominator (cached plan pieces warm)
+    t0 = time.time()
+    run_full(out)
+    asof_sec = time.time() - t0
+    timings["asof_northrule"] = round(asof_sec, 3)
+    seq_per_sec = round(n_out / asof_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "asof_rows": n_out,
+        "asof_seq_per_sec": seq_per_sec,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Point-in-time (as-of) join with zero temporal leakage.
+
+The reference has only keyed equi-lookups (piper/src/pipeline/lookup/mod.rs:24-53);
+the point-in-time-correct variant — "for each event at time t, attach the most
+recent feature row with feature_time strictly < t" — is the new surface this
+engine adds (SURVEY.md §2.1 notes, §7.1 step 6).  Strict ``<`` is the leakage
+guarantee: a feature stamped at exactly the event time must NOT be visible.
+
+Two physical strategies behind one API:
+
+``strategy="union"`` (default)
+    Union-tag + running ``last(ignorenulls)`` window.  Both sides are tagged and
+    unioned; within each entity, rows sort by ``(ts, tag)`` where events sort
+    BEFORE features at equal timestamps (tag 0 vs 1), so a running
+    ``last(feature_col, ignorenulls=True)`` over
+    ``rowsBetween(unboundedPreceding, currentRow)`` sees only features with
+    ts strictly below the event's — strict ``<`` falls out of the sort order
+    with no per-row logic.  Cost: ONE shuffle of events+features on the entity
+    key, then a linear scan per entity.  All JVM-side (window exec +
+    codegen'd last), no Python anywhere.
+
+``strategy="cogroup"``
+    ``events.groupBy(entity).cogroup(features.groupBy(entity))`` +
+    ``applyInPandas`` running ``pandas.merge_asof(allow_exact_matches=False)``
+    per entity group, Arrow-batched.  Same shuffle count; the merge itself is
+    vectorized C inside pandas.  This is the escape hatch for very wide
+    feature rows (running ``last`` over hundreds of columns gets expensive)
+    and mirrors how the production job would process Iceberg partitions
+    already sorted on (entity, event_time).
+
+At 100 TB: both strategies shuffle each side exactly once on the entity key.
+Feed them inputs bucketed/sorted by entity (see plans/io notes) and AQE will
+coalesce; hot entities should be pre-split with plans.salting helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    events: DataFrame,
+    features: DataFrame,
+    on: str = "entity",
+    left_ts: str = "event_time",
+    right_ts: str = "feature_time",
+    strict: bool = True,
+    strategy: str = "union",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach to each event row the latest feature row of the same entity with
+    ``right_ts < left_ts`` (strict) or ``<=`` (non-strict).
+
+    Output: all event columns (original names) + all feature payload columns.
+    Events with no qualifying feature row keep nulls (left-outer semantics,
+    like the reference's lookup miss behaviour, lookup_transformation.rs:218-231).
+
+    ``right_tiebreak``: when several feature rows share (entity, right_ts), the
+    row with the greatest tiebreak wins; defaults to a hash of the payload so
+    results are deterministic regardless of input order.
+    """
+    if strategy == "union":
+        return _asof_union(events, features, on, left_ts, right_ts, strict, right_tiebreak)
+    if strategy == "cogroup":
+        return _asof_cogroup(events, features, on, left_ts, right_ts, strict, right_tiebreak)
+    raise ValueError(f"unknown asof strategy: {strategy}")
+
+
+def _payload_cols(features: DataFrame, on: str, right_ts: str) -> list[str]:
+    return [c for c in features.columns if c not in (on, right_ts)]
+
+
+def _asof_union(
+    events: DataFrame,
+    features: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict: bool,
+    right_tiebreak: str | None,
+) -> DataFrame:
+    event_cols = [c for c in events.columns if c not in (on, left_ts)]
+    payload = _payload_cols(features, on, right_ts)
+    overlap = set(payload) & set(events.columns)
+    if overlap:
+        raise ValueError(f"asof_join: feature columns collide with event columns: {sorted(overlap)}")
+
+    # Tag order encodes the leakage rule: at equal ts, events (tag 0) sort
+    # before features (tag 1) so a feature at exactly the event time is not yet
+    # visible to the running last() — strict '<'.  Non-strict flips the tag.
+    feat_tag, event_tag = (1, 0) if strict else (0, 1)
+
+    # Deterministic winner among same-(entity, ts) feature rows.
+    tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
+
+    ev = events.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(event_tag).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
+        *[F.col(c) for c in event_cols],
+        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+    )
+    ft = features.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(feat_tag).alias("__tag"),
+        tiebreak.cast("long").alias("__tb"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
+        *[F.col(c) for c in payload],
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__tag"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.unionByName(ft).select(
+        F.col(on),
+        F.col("__ts"),
+        F.col("__tag"),
+        *[F.col(c) for c in event_cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return (
+        filled.filter(F.col("__tag") == event_tag)
+        .select(F.col(on), F.col("__ts").alias(left_ts), *event_cols, *payload)
+    )
+
+
+def _asof_cogroup(
+    events: DataFrame,
+    features: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict: bool,
+    right_tiebreak: str | None,
+) -> DataFrame:
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from pyspark.sql.types import StructType
+
+    payload = _payload_cols(features, on, right_ts)
+    # StructType.add mutates in place — build a fresh schema instead of
+    # appending to the DataFrame's cached one.
+    out_schema = StructType(list(events.schema.fields) + [features.schema[c] for c in payload])
+
+    event_cols = list(events.columns)
+    allow_exact = not strict
+
+    # Same deterministic winner among equal-(entity, ts) feature rows as the
+    # union strategy: greatest tiebreak wins.  The hash is computed JVM-side;
+    # pandas merge_asof takes the LAST duplicate after a stable sort, so
+    # sorting by (ts, tiebreak) yields the max-tiebreak row.
+    tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
+    ft = features.withColumn("__tb", tiebreak.cast("long"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=event_cols + payload)
+        left = left.sort_values(left_ts, kind="mergesort")
+        if right.empty:
+            for c in payload:
+                left[c] = None
+            return left[event_cols + payload]
+        right = right.sort_values([right_ts, "__tb"], kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right[[right_ts] + payload],
+            left_on=left_ts,
+            right_on=right_ts,
+            allow_exact_matches=allow_exact,
+            direction="backward",
+        )
+        return merged[event_cols + payload]
+
+    return (
+        events.groupBy(on)
+        .cogroup(ft.groupBy(on))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def leakage_check(
+    joined: DataFrame,
+    features: DataFrame,
+    on: str = "entity",
+    left_ts: str = "event_time",
+    right_ts: str = "feature_time",
+    match_cols: Iterable[str] | None = None,
+) -> int:
+    """Count temporal-leakage violations: output rows whose attached feature
+    payload could only have come from a feature row with right_ts >= left_ts.
+    Returns the violation count (0 = clean).  Used by the property tests
+    (SURVEY.md §5.2 item 4)."""
+    if match_cols is None:
+        match_cols = _payload_cols(features, on, right_ts)
+    match_cols = list(match_cols)
+    # Prefix the feature side to dodge self-join ambiguity (joined was derived
+    # from features).
+    ft = features.select(
+        F.col(on).alias("__f_on"),
+        F.col(right_ts).alias("__f_ts"),
+        *[F.col(c).alias(f"__f_{c}") for c in match_cols],
+    )
+    cond = joined[on] == ft["__f_on"]
+    for c in match_cols:
+        cond = cond & joined[c].eqNullSafe(ft[f"__f_{c}"])
+    pair = joined.join(ft, cond, "inner")
+    earliest = pair.groupBy(on, left_ts, *match_cols).agg(F.min("__f_ts").alias("__min_ft"))
+    return earliest.filter(F.col("__min_ft") >= F.col(left_ts)).count()

@@ -1,0 +1,63 @@
+"""Checkpoint manifest + resume for partition-granular batch jobs.
+
+The production job processes an entity-range-partitioned table; each completed
+range appends a manifest row.  On restart, already-done ranges are anti-joined
+away so only missing work re-runs (north_star: "resuming cleanly from a
+checkpoint manifest").
+
+Locally the manifest is a parquet directory; on a cluster it would be an
+Iceberg table (atomic appends).  The unit of work is a *logical* partition id —
+``pmod(entity, n_buckets)`` — not a physical task id, so the manifest is stable
+across different parallelism levels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_of(entity_col: str, n_buckets: int):
+    return F.pmod(F.col(entity_col), F.lit(n_buckets)).cast("long")
+
+
+def load_done_partitions(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Read the manifest; empty DataFrame if it doesn't exist yet."""
+    if os.path.exists(manifest_path):
+        try:
+            return spark.read.parquet(manifest_path).select("bucket").distinct()
+        except Exception:
+            pass
+    return spark.createDataFrame([], "bucket long")
+
+
+def resume_filter(
+    df: DataFrame,
+    manifest_path: str,
+    entity_col: str = "entity",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Drop rows whose bucket is already recorded done — a broadcast anti-join
+    (the manifest is tiny: ≤ n_buckets rows)."""
+    done = load_done_partitions(df.sparkSession, manifest_path)
+    withb = df.withColumn("__bucket", bucket_of(entity_col, n_buckets))
+    out = withb.join(
+        F.broadcast(done.withColumnRenamed("bucket", "__bucket")), "__bucket", "left_anti"
+    )
+    return out.drop("__bucket")
+
+
+def mark_done(
+    spark: SparkSession,
+    manifest_path: str,
+    buckets: list[int],
+    run_id: str = "local",
+) -> None:
+    """Append completed buckets to the manifest (idempotent consumers: readers
+    use DISTINCT bucket)."""
+    rows = [(int(b), run_id) for b in buckets]
+    spark.createDataFrame(rows, "bucket long, run_id string").write.mode("append").parquet(
+        manifest_path
+    )

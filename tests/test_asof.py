@@ -1,0 +1,119 @@
+"""As-of join: strict-< semantics, tie handling, strategy equivalence, and the
+zero-leakage property test (SURVEY.md §5.2 items 3-4)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_online_spark.operators.asof import asof_join, leakage_check
+from tests.conftest import rows
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    events = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "e1"),
+            (1, ts("2024-01-01 11:00:00"), "e2"),
+            (1, ts("2024-01-01 12:00:00"), "e3"),
+            (2, ts("2024-01-01 10:30:00"), "e4"),
+            (3, ts("2024-01-01 10:00:00"), "e5"),  # entity with no features
+        ],
+        "entity long, event_time timestamp, eid string",
+    )
+    features = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 1.0),
+            (1, ts("2024-01-01 11:00:00"), 2.0),  # TIE with e2 — must NOT match strictly
+            (1, ts("2024-01-01 11:30:00"), 3.0),
+            (2, ts("2024-01-01 10:30:00"), 9.0),  # tie with e4
+        ],
+        "entity long, feature_time timestamp, f double",
+    )
+    return events, features
+
+
+EXPECTED_STRICT = [
+    ("e1", 1.0),   # 09:00 < 10:00
+    ("e2", 1.0),   # 11:00 tie excluded → 09:00
+    ("e3", 3.0),   # 11:30 < 12:00
+    ("e4", None),  # only feature is a tie → nothing strictly before
+    ("e5", None),  # no features at all
+]
+
+EXPECTED_NONSTRICT = [
+    ("e1", 1.0),
+    ("e2", 2.0),   # tie allowed
+    ("e3", 3.0),
+    ("e4", 9.0),
+    ("e5", None),
+]
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_strict_semantics(pair, strategy):
+    events, features = pair
+    out = asof_join(events, features, strategy=strategy)
+    got = sorted([(r.eid, r.f) for r in out.collect()])
+    assert got == sorted(EXPECTED_STRICT)
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_nonstrict_semantics(pair, strategy):
+    events, features = pair
+    out = asof_join(events, features, strict=False, strategy=strategy)
+    got = sorted([(r.eid, r.f) for r in out.collect()])
+    assert got == sorted(EXPECTED_NONSTRICT)
+
+
+def test_output_schema_and_left_outer(pair):
+    events, features = pair
+    out = asof_join(events, features)
+    assert out.columns == ["entity", "event_time", "eid", "f"]
+    assert out.count() == events.count()  # left-outer: every event survives
+
+
+def test_leakage_property_randomized(spark):
+    """Zero-leakage invariant over randomized timestamp layouts with heavy
+    tie probability (minute granularity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_e, n_f = 400, 300
+    ev = [
+        (int(rng.integers(0, 20)), datetime(2024, 1, 1, int(h), int(m)), i)
+        for i, (h, m) in enumerate(zip(rng.integers(0, 24, n_e), rng.integers(0, 60, n_e)))
+    ]
+    ft = [
+        (int(rng.integers(0, 20)), datetime(2024, 1, 1, int(h), int(m)), float(v))
+        for h, m, v in zip(rng.integers(0, 24, n_f), rng.integers(0, 60, n_f), rng.random(n_f))
+    ]
+    events = spark.createDataFrame(ev, "entity long, event_time timestamp, eid long")
+    features = spark.createDataFrame(ft, "entity long, feature_time timestamp, f double")
+
+    joined = asof_join(events, features)
+    # per output row: the matched feature's earliest stamping must be < event_time
+    assert leakage_check(joined.filter(F.col("f").isNotNull()), features) == 0
+
+    # and both strategies agree exactly
+    alt = asof_join(events, features, strategy="cogroup")
+    assert rows(joined) == rows(alt)
+
+
+def test_deterministic_among_equal_ts_features(spark):
+    """Multiple feature rows at the same (entity, ts): winner must be stable
+    across runs/orderings."""
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"), "e")], "entity long, event_time timestamp, eid string"
+    )
+    feats = [(1, ts("2024-01-01 10:00:00"), float(v)) for v in (5.0, 1.0, 9.0)]
+    f1 = spark.createDataFrame(feats, "entity long, feature_time timestamp, f double")
+    f2 = spark.createDataFrame(list(reversed(feats)), "entity long, feature_time timestamp, f double")
+    v1 = asof_join(events, f1).collect()[0]["f"]
+    v2 = asof_join(events, f2).collect()[0]["f"]
+    assert v1 == v2
