@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from feathr_online_spark.operators.asof import asof_join
+from feathr_online_spark.operators.dedup import (
+    exact_dup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from feathr_online_spark.operators.multimodal import extract_features, synth_assets
 from feathr_online_spark.operators.pipeline import Pipeline
+from feathr_online_spark.operators.similarity import embedding_topk_pairs, knn_bruteforce
+from feathr_online_spark.operators.text import lang_id, quality_features, quality_score
 from feathr_online_spark.operators.windows import rolling, sessionize
 
 
@@ -291,6 +300,198 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text analysis (SURVEY.md §7 + brief)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB prelude: word arrays and distinct 3-gram shingle sets per doc,
+# mirroring operators.dedup.with_shingles (lower → split → 3-gram → distinct).
+_DUCK_SHINGLES = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS sg
+  FROM w WHERE len(ws) >= 3
+)
+"""
+
+_DUCK_JACCARD_PAIRS = _DUCK_SHINGLES + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sg, b.sg))::DOUBLE
+             / len(list_distinct(list_concat(a.sg, b.sg))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+            / len(list_distinct(list_concat(a.sg, b.sg))), 4) >= 0.5
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-dedup statistics per source (md5 content fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_stats(docs, "text", by="source")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup pairs by exact word-3-gram Jaccard ≥ 0.5 (inverted index)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup pairs via MinHash(128)+LSH(32 bands) with exact-Jaccard verify;
+    at jaccard ≥ 0.5 LSH recall ≈ 1, so the oracle is the exact pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=128, bands=32, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup pairs by 64-bit SimHash hamming ≤ 3 (no SQL oracle — xxhash64
+    is Spark-specific; correctness covered by planted-dup pytest goldens)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language-ID heuristic (stopword markers + CJK chars) → counts per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# marker lists must match operators.text.LANG_MARKERS
+ORACLE_LANG_ID = """
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws, text FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','von'], x))) AS s_de,
+    len(list_filter(ws, x -> list_contains(['el','la','los','que','y','es','en','un','una','por'], x))) AS s_es,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM s
+), p AS (
+  SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM sc
+)
+SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality features + composite score per document, in integer basis
+    points (exact cross-engine arithmetic — see quality_features_bp)."""
+    from feathr_online_spark.operators.text import quality_features_bp, quality_score_bp
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features_bp("text")
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["punct_bp"].alias("punct_bp"),
+        feats["stopword_bp"].alias("stopword_bp"),
+        quality_score_bp("text").alias("quality_bp"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH q AS (
+  SELECT doc_id, text,
+         length(text)::BIGINT AS n_chars,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+                                 'for','on','with','as','by','at','it','that','this','be'], lower(x))))::BIGINT AS n_stop
+  FROM documents
+), b AS (
+  SELECT doc_id, n_words,
+         floor(n_punct * 10000 / n_chars)::BIGINT AS punct_bp,
+         floor(n_digit * 10000 / n_chars)::BIGINT AS digit_bp,
+         floor(n_stop * 10000 / n_words)::BIGINT AS stopword_bp
+  FROM q
+)
+SELECT doc_id, n_words, punct_bp, stopword_bp,
+       floor((least(n_words * 200, 10000) * 4
+              + least(stopword_bp * 5, 10000) * 3
+              + greatest(0, 10000 - punct_bp * 3 - digit_bp * 2) * 3) / 10)::BIGINT AS quality_bp
+FROM b
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact cosine top-10 neighbors for the first 5 vectors (brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_bruteforce(queries, emb, k=10).select(
+        "q_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+ORACLE_ANN_TOPK = """
+WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS c6
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+), r AS (
+  SELECT q_id, neighbor_id, c6,
+         row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT q_id, neighbor_id, round(c6, 4) AS cos_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-20 most-similar embedding pairs (embedding near-dup report)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_topk_pairs(emb, k=20).select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+ORACLE_EMBEDDING_PAIRS = """
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS c6
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(c6, 4) AS cos_sim
+FROM p ORDER BY c6 DESC, a, b LIMIT 20
+"""
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal plumbing: synthetic binary assets → mapInPandas feature
+    extraction (deterministic fake decoder; no SQL oracle — binary/UDF)."""
+    assets = synth_assets(spark, n=96)
+    feats = extract_features(assets)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -311,6 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup": q_lookup,
         "sessionize": q_sessionize,
         "rolling": q_rolling,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "ann_topk": q_ann_topk,
+        "embedding_pairs": q_embedding_pairs,
+        "multimodal": q_multimodal,
     }
 
 
@@ -326,4 +536,13 @@ def oracle_sql() -> dict[str, str]:
         "lookup": ORACLE_LOOKUP,
         "sessionize": ORACLE_SESSIONIZE,
         "rolling": ORACLE_ROLLING,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_ngram": _DUCK_JACCARD_PAIRS,
+        "dedup_minhash": _DUCK_JACCARD_PAIRS,
+        "lang_id": ORACLE_LANG_ID,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "ann_topk": ORACLE_ANN_TOPK,
+        "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
+        # dedup_simhash, multimodal: intentionally no oracle (engine-specific
+        # hashing / binary+UDF) → driver rows-only check
     }

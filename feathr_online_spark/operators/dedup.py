@@ -1,0 +1,261 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (the point of each variant):
+
+- **exact**: one md5-keyed groupBy — a single shuffle of (hash, id) pairs,
+  never of document bodies.
+- **ngram_jaccard_pairs**: candidate generation by inverted index (explode
+  shingles → self-join on shingle) with a document-frequency cap dropping
+  stop-shingles — without the cap a hot shingle produces O(df²) candidate
+  pairs and kills the join at scale.  Exact Jaccard verifies candidates.
+- **minhash_lsh_pairs**: the 100 TB path — signature size k, b bands; only
+  documents agreeing on a whole band collide, so candidate count is driven by
+  the (b, r) S-curve, not by corpus size.  Bands are banded-hash rows in an
+  exploded table; the bucket self-join is an equi-join Catalyst handles with
+  AQE skew splitting.
+- **simhash_pairs**: 64-bit simhash; Hamming ≤ d pairs found by the
+  pigeonhole band trick ((d+1) chunks, at least one must match exactly).
+- embedding-cosine near-dup lives in operators/similarity.py.
+
+All hashing is JVM xxhash64; shingling/banding are higher-order array
+functions — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feathr_online_spark.operators.text import content_fingerprint, words
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def shingles(word_arr: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from a token array: transform over a 0..len-n
+    index sequence, concat_ws each window.  Empty array when len < n.
+    (Guarded with when(): Spark's sequence(0, -1) counts BACKWARDS, it is not
+    empty, so the short-array case needs an explicit branch.)"""
+    idx = F.sequence(F.lit(0), F.size(word_arr) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i + 1, n)))
+    sh = F.when(F.size(word_arr) >= n, sh).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    return df.withColumn(out_col, shingles(words(F.lower(F.col(text_col))), n))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct normalized content (min id wins).  Returns
+    the surviving rows.  Shuffle payload is only (fingerprint, id)."""
+    fp = df.select(content_fingerprint(F.col(text_col)).alias("__fp"), F.col(id_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_stats(df: DataFrame, text_col: str, by: str | None = None) -> DataFrame:
+    """(group, n_docs, n_unique) dedup statistics."""
+    fp = content_fingerprint(F.col(text_col))
+    keys = [by] if by else []
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted index + exact verify)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """All (a, b, jaccard) pairs with word-n-gram Jaccard ≥ threshold, a < b.
+
+    Candidates: explode shingles → drop shingles appearing in > max_df docs
+    (stop-shingle cap: hot shingles generate O(df²) pairs) → self-join on
+    shingle → distinct (a, b).  Verify: exact |A∩B|/|A∪B| via array ops on
+    the two shingle sets.
+    """
+    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("id"), "shingles")
+    inv = sh.select("id", F.explode("shingles").alias("s"))
+    rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+    inv = inv.join(rare.select("s"), "s", "left_semi")
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Join shingle sets onto candidate (a, b) pairs and keep jaccard ≥ t."""
+    a_sets = sh.select(F.col("id").alias("a"), F.col("shingles").alias("__sa"))
+    b_sets = sh.select(F.col("id").alias("b"), F.col("shingles").alias("__sb"))
+    j = (
+        cand.join(a_sets, "a").join(b_sets, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size(F.array_union("__sa", "__sb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_arr: Column, k: int = 128) -> Column:
+    """k-permutation MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i).  Array of k longs, all JVM-side.
+
+    NB: the per-seed closure must be built by a factory — a ``lambda s, i=i``
+    default arg makes PySpark treat the function as the 2-arg (element, index)
+    transform variant, silently replacing the seed with the array index."""
+
+    def hash_with_seed(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(shingle_arr, hash_with_seed(i))) for i in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding, verified with exact Jaccard.
+
+    r = k/bands rows per band; a pair lands in the same bucket with
+    probability 1-(1-j^r)^bands — at (k=128, b=32, r=4) recall at j≥0.5 is
+    ≈0.99 and ≈1.0 at j≥0.8.  Only same-bucket documents are compared, so
+    cost scales with collisions, not corpus².
+    """
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("id"), "shingles").filter(
+        F.size("shingles") > 0
+    )
+    sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), k).alias("sig"))
+    # one row per (doc, band): bucket key = xxhash64 of the band's slice
+    bucketed = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("sig", b * r + 1, r), lambda v: v.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bucketed.alias("x")
+        .join(
+            bucketed.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh.select("id", "shingles"), threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over word hashes: per bit, majority vote
+    of word-hash bits.  Explode words → 64 conditional sums in ONE groupBy
+    (single shuffle of (id, word-hash))."""
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    h = w.select("id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), i)  # i=63 → Long.MIN_VALUE, well-defined
+        sim = sim.bitwiseOR(F.when(F.col(f"v{i}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any pair
+    within distance d agrees exactly on ≥1 chunk → equi-join per chunk, then
+    verify with bit_count(a XOR b)."""
+    sh = simhash64(df, text_col, id_col)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        )
+        for c in range(n_chunks)
+    ]
+    chunks = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,179 @@
+"""Text analysis for training-data pipelines: tokenization stats, quality
+scoring, language ID, document fingerprinting.
+
+All pure Column expressions (JVM, codegen'd, no UDFs) — at 100 TB these run
+map-side inside the parquet scan stage with zero shuffle.  Each helper has a
+direct ANSI-SQL equivalent so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+def words(text: ColumnOrName) -> Column:
+    """Whitespace tokenization (collapses runs)."""
+    return F.split(F.trim(_col(text)), r"\s+")
+
+
+def token_count_ws(text: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+# BPE-ish segmentation: letter runs, digit runs, punctuation runs — the
+# GPT-2-style pre-tokenizer shape, kept to syntax RE2 (DuckDB) and the JDK
+# regex engine (Spark) both accept, so oracles can replicate it.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: ColumnOrName) -> Column:
+    """Count of BPE-ish pre-tokens (letter/digit/punct runs)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "that", "this", "be",
+]
+
+
+def quality_features(text: ColumnOrName) -> dict[str, Column]:
+    """Raw quality signals: char/word counts, mean word length, punctuation
+    and digit ratios, stopword ratio.  Returned as a dict for withColumns."""
+    t = _col(text)
+    w = words(text)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    stop = F.array([F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x))))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round((n_chars - n_words + 1) / n_words, 4),
+        "punct_ratio": F.round(n_punct / n_chars, 4),
+        "digit_ratio": F.round(n_digit / n_chars, 4),
+        "stopword_ratio": F.round(n_stop / n_words, 4),
+    }
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length documents and
+    stopword presence, penalizes punctuation/digit noise.  A Gopher-rules-like
+    filter reduced to deterministic arithmetic."""
+    f = quality_features(text)
+    len_score = F.least(f["n_words"] / 50.0, F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    noise_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 3.0 - f["digit_ratio"] * 2.0)
+    return F.round((len_score * 0.4 + stop_score * 0.3 + noise_pen * 0.3), 4)
+
+
+def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
+    """Engine-portable integer variant: ratios in basis points (1/10000) via
+    exact integer arithmetic — ``floor(a*10000 / b)`` with operands < 2^53 is
+    bit-exact in every engine, unlike ``round(double, 4)`` whose half-way
+    behaviour differs between Spark (HALF_UP on the binary double) and e.g.
+    DuckDB (scaled multiply-round).  Use these for cross-engine comparisons."""
+    t = _col(text)
+    w = words(text)
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(w).cast("long")
+    stop = F.array([F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x)))).cast("long")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("long")
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_bp": F.floor(n_punct * 10000 / n_chars).cast("long"),
+        "digit_bp": F.floor(n_digit * 10000 / n_chars).cast("long"),
+        "stopword_bp": F.floor(n_stop * 10000 / n_words).cast("long"),
+    }
+
+
+def quality_score_bp(text: ColumnOrName) -> Column:
+    """Integer-exact composite quality in basis points [0, 10000]:
+    0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic."""
+    f = quality_features_bp(text)
+    len_bp = F.least(f["n_words"] * 200, F.lit(10000).cast("long"))
+    stop_bp = F.least(f["stopword_bp"] * 5, F.lit(10000).cast("long"))
+    noise_bp = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(10000).cast("long") - f["punct_bp"] * 3 - f["digit_bp"] * 2,
+    )
+    return F.floor((len_bp * 4 + stop_bp * 3 + noise_bp * 3) / 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "es": ["el", "la", "los", "que", "y", "es", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+CJK_PATTERN = r"[一-鿿]"
+
+
+def lang_scores(text: ColumnOrName) -> dict[str, Column]:
+    """Per-language marker-hit counts; 'zh' scores CJK characters."""
+    w = words(text)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array([F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(marker_arr, F.lower(x))))
+    out["zh"] = F.size(F.regexp_extract_all(_col(text), F.lit(CJK_PATTERN), 0))
+    return out
+
+
+def lang_id(text: ColumnOrName, default: str = "unknown") -> Column:
+    """argmax language by marker score; deterministic tie-break = language
+    code order; 'unknown' when every score is 0."""
+    scores = lang_scores(text)
+    expr = F.lit(default)
+    best = F.lit(0)
+    for lang in sorted(scores):  # later (greater) score strictly beats; ties keep first code
+        s = scores[lang]
+        expr = F.when(s > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, s)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def content_fingerprint(text: ColumnOrName) -> Column:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized,
+    lower-cased text — the exact-dedup key (md5 exists in every engine, so
+    oracles replicate it)."""
+    norm = F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_fingerprint(text: ColumnOrName, n: int = 3) -> Column:
+    """64-bit rolling fingerprint: min xxhash64 over word n-gram shingles —
+    an order-sensitive near-dup key (Spark-native; no SQL oracle)."""
+    from feathr_online_spark.operators.dedup import shingles
+
+    return F.array_min(F.transform(shingles(words(text), n), lambda s: F.xxhash64(s)))
