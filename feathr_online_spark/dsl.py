@@ -1,0 +1,717 @@
+"""Piper DSL front end: tokenizer + recursive-descent parser + compiler to
+DataFrame transformations.
+
+Grammar: /root/reference/DSL-syntax.txt; operator precedence reproduced from
+the reference's precedence-climbing parser (piper/src/pipeline/parser/
+dsl_parser.rs:169-219), which is unusual — lowest to highest:
+
+    comparison (> < >= <= == != <>)
+    additive   (+ - or)
+    multiplicative (* / div % & && and)
+    unary      (+ - ~ ! not)
+    postfix    (is null / is not null)
+    primary    (case, function call, dot member, literal, parens; [index]*)
+
+The compiler emits the same Pipeline verbs / Column expressions as the
+builder API, so a user can run an existing pipeline.conf unchanged against
+DataFrame-backed lookup sources:
+
+    pipelines = parse_pipelines(open("pipeline.conf").read())
+    out = pipelines["nyc_taxi_demo_3_local_compute"].apply(df, sources)
+
+Everything compiles to one Catalyst plan — the DSL adds zero runtime overhead
+over hand-written DataFrame code.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feathr_online_spark.functions import piper as P
+from feathr_online_spark.functions.aggregations import agg_fn
+from feathr_online_spark.functions.registry import fn as lookup_fn
+from feathr_online_spark.operators.pipeline import Pipeline
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\r\n]*)
+  | (?P<float>\d+\.\d*|\.\d+)
+  | (?P<hex>0[xX][0-9a-fA-F]+)
+  | (?P<bin>0[bB][01]+)
+  | (?P<dec>\d+)
+  | (?P<id>[a-zA-Z][a-zA-Z0-9_]*(?:-(?:rename|remove|keep|inner|outer|error|expand))*)
+  | (?P<str>"(?:[^"\\\r\n]|\\["\\rnt])*")
+  | (?P<op><>|!=|>=|<=|==|&&|[|;,()\[\]=<>+\-*/%&~!.])
+    """,
+    re.VERBOSE,
+)
+
+_TYPES = {"int", "long", "float", "double", "string", "datetime", "array", "object", "dynamic"}
+
+_SPARK_TYPES = {
+    "int": "int", "long": "long", "float": "float", "double": "double",
+    "string": "string", "datetime": "timestamp", "array": "array<string>",
+    "object": "map<string,string>", "dynamic": "string",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # id | num | str | op
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"DSL tokenize error at {i}: {src[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind in ("float", "hex", "bin", "dec"):
+            out.append(Tok("num", text, m.start()))
+        elif kind == "id":
+            out.append(Tok("id", text, m.start()))
+        elif kind == "str":
+            out.append(Tok("str", text, m.start()))
+        else:
+            out.append(Tok("op", text, m.start()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent mirroring the reference precedence table)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Parser:
+    toks: list[Tok]
+    i: int = 0
+
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t is not None and t.text == text
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "id" and t.text.lower() in words
+
+    def take(self, text: str | None = None) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of DSL input")
+        if text is not None and t.text != text:
+            raise SyntaxError(f"expected {text!r} at {t.pos}, got {t.text!r}")
+        self.i += 1
+        return t
+
+    def take_id(self) -> str:
+        t = self.peek()
+        if t is None or t.kind != "id":
+            raise SyntaxError(f"expected identifier, got {t.text if t else 'EOF'}")
+        self.i += 1
+        return t.text
+
+    # -- expressions ---------------------------------------------------------
+
+    def expr(self):
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        while True:
+            t = self.peek()
+            if t and t.text in (">", "<", ">=", "<=", "==", "!=", "<>"):
+                self.take()
+                right = self._add()
+                op = "!=" if t.text == "<>" else t.text
+                left = ("bin", op, left, right)
+            else:
+                return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            t = self.peek()
+            if t and (t.text in ("+", "-") or (t.kind == "id" and t.text.lower() == "or")):
+                self.take()
+                left = ("bin", t.text.lower(), left, self._mul())
+            else:
+                return left
+
+    def _mul(self):
+        left = self._unary()
+        while True:
+            t = self.peek()
+            if t and (
+                t.text in ("*", "/", "%", "&", "&&")
+                or (t.kind == "id" and t.text.lower() in ("div", "and"))
+            ):
+                self.take()
+                op = "and" if t.text == "&&" else t.text.lower()
+                left = ("bin", op, left, self._unary())
+            else:
+                return left
+
+    def _unary(self):
+        t = self.peek()
+        if t and (t.text in ("+", "-", "~", "!") or (t.kind == "id" and t.text.lower() == "not")):
+            self.take()
+            return ("un", t.text.lower(), self._unary())
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        while True:
+            if self.at_kw("is"):
+                # is null / is not null
+                save = self.i
+                self.take()
+                if self.at_kw("not"):
+                    self.take()
+                    if self.at_kw("null"):
+                        self.take()
+                        e = ("un", "is not null", e)
+                        continue
+                    self.i = save
+                    return e
+                if self.at_kw("null"):
+                    self.take()
+                    e = ("un", "is null", e)
+                    continue
+                self.i = save
+                return e
+            if self.at("["):
+                self.take()
+                idx = self.expr()
+                self.take("]")
+                e = ("index", e, idx)
+                continue
+            return e
+
+    def _primary(self):
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of expression")
+        if t.text == "(":
+            self.take()
+            e = self.expr()
+            self.take(")")
+            return e
+        if t.kind == "num":
+            self.take()
+            return ("num", t.text)
+        if t.kind == "str":
+            self.take()
+            return ("str", _unescape(t.text))
+        if t.kind == "id":
+            low = t.text.lower()
+            if low == "case":
+                return self._case()
+            if low in ("true", "false"):
+                self.take()
+                return ("bool", low == "true")
+            if t.text in ("PI", "E", "TAU"):
+                self.take()
+                return ("const", t.text)
+            if low == "null":
+                self.take()
+                return ("null",)
+            nxt = self.peek(1)
+            if nxt is not None and nxt.text == "(":
+                name = self.take_id()
+                self.take("(")
+                args = []
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.at(","):
+                        self.take(",")
+                        args.append(self.expr())
+                self.take(")")
+                return ("call", name, args)
+            # dot member chain
+            name = self.take_id()
+            segs = [name]
+            while self.at("."):
+                self.take(".")
+                segs.append(self.take_id())
+            return ("col", segs)
+        raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _case(self):
+        self.take()  # case
+        whens = []
+        while self.at_kw("when"):
+            self.take()
+            cond = self.expr()
+            if not self.at_kw("then"):
+                raise SyntaxError("expected 'then' in case expression")
+            self.take()
+            whens.append((cond, self.expr()))
+        other = None
+        if self.at_kw("else"):
+            self.take()
+            other = self.expr()
+        if not self.at_kw("end"):
+            raise SyntaxError("expected 'end' in case expression")
+        self.take()
+        return ("case", whens, other)
+
+
+def _unescape(s: str) -> str:
+    body = s[1:-1]
+    return (
+        body.replace(r"\\", "\x00")
+        .replace(r"\"", '"')
+        .replace(r"\r", "\r")
+        .replace(r"\n", "\n")
+        .replace(r"\t", "\t")
+        .replace("\x00", "\\")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AST → Column compiler
+# ---------------------------------------------------------------------------
+
+class ExprCompiler:
+    """Compiles expression ASTs to Columns, tracking rough static types so
+    piper's string-`+`-is-concat rule (math_op.rs:82) can be honored."""
+
+    def __init__(self, col_types: dict[str, str]):
+        self.col_types = dict(col_types)
+
+    def compile(self, ast) -> tuple[Column, str | None]:
+        kind = ast[0]
+        if kind == "num":
+            txt = ast[1]
+            if txt.lower().startswith("0x"):
+                return F.lit(int(txt, 16)), "long"
+            if txt.lower().startswith("0b"):
+                return F.lit(int(txt, 2)), "long"
+            if "." in txt:
+                return F.lit(float(txt)), "double"
+            v = int(txt)
+            return F.lit(v), ("int" if v <= 2**31 - 1 else "long")
+        if kind == "str":
+            return F.lit(ast[1]), "string"
+        if kind == "bool":
+            return F.lit(ast[1]), "boolean"
+        if kind == "null":
+            return F.lit(None), None
+        if kind == "const":
+            import math
+
+            return F.lit({"PI": math.pi, "E": math.e, "TAU": math.tau}[ast[1]]), "double"
+        if kind == "col":
+            segs = ast[1]
+            c = F.col(segs[0])
+            for s in segs[1:]:
+                c = c.getItem(s)
+            t = self.col_types.get(segs[0]) if len(segs) == 1 else None
+            return c, t
+        if kind == "index":
+            base, _ = self.compile(ast[1])
+            idx_ast = ast[2]
+            if idx_ast[0] == "str":
+                return base.getItem(idx_ast[1]), None
+            idx, _ = self.compile(idx_ast)
+            return F.get(base, idx.cast("int")), None  # piper arrays are 0-based
+        if kind == "un":
+            op = ast[1]
+            e, t = self.compile(ast[2])
+            if op == "-":
+                return -e, t
+            if op == "+":
+                return e, t
+            if op in ("!", "not"):
+                return ~e, "boolean"
+            if op == "~":
+                return lookup_fn("bit_not")(e), t
+            if op == "is null":
+                return e.isNull(), "boolean"
+            if op == "is not null":
+                return e.isNotNull(), "boolean"
+        if kind == "bin":
+            op = ast[1]
+            a, ta = self.compile(ast[2])
+            b, tb = self.compile(ast[3])
+            if op == "+":
+                if ta == "string" or tb == "string":
+                    return F.concat(a.cast("string"), b.cast("string")), "string"
+                return a + b, _promote(ta, tb)
+            if op == "-":
+                return a - b, _promote(ta, tb)
+            if op == "*":
+                return a * b, _promote(ta, tb)
+            if op == "/":
+                return a / b, "double"
+            if op == "div":
+                return P.div(a, b), "long"
+            if op == "%":
+                return P.mod_long(a, b), "long"
+            if op == "&":
+                return lookup_fn("bit_and")(a, b), _promote(ta, tb)
+            if op == "and":
+                return a & b, "boolean"
+            if op == "or":
+                return a | b, "boolean"
+            if op == ">":
+                return a > b, "boolean"
+            if op == "<":
+                return a < b, "boolean"
+            if op == ">=":
+                return a >= b, "boolean"
+            if op == "<=":
+                return a <= b, "boolean"
+            if op == "==":
+                return a == b, "boolean"
+            if op == "!=":
+                return a != b, "boolean"
+        if kind == "call":
+            name = ast[1]
+            # strftime-format functions take the format as a python string
+            if name.lower() in ("to_unix_timestamp", "unix_timestamp", "timestamp") and len(ast[2]) == 2 and ast[2][1][0] == "str":
+                first, _ = self.compile(ast[2][0])
+                base = F.to_timestamp(first, P.strftime_to_java(ast[2][1][1]))
+                if name.lower() == "timestamp":
+                    return base, "datetime"
+                return F.unix_timestamp(base), "long"
+            # Literal args are passed as python natives: several Spark
+            # functions demand plain str/int for patterns, paths and counts
+            # (get_json_object, regexp_extract, translate, substring, ...);
+            # python scalars are accepted everywhere a Column is.
+            args = []
+            for x in ast[2]:
+                if x[0] == "str":
+                    args.append(x[1])
+                elif x[0] == "num":
+                    txt = x[1]
+                    args.append(float(txt) if "." in txt else int(txt, 0))
+                elif x[0] == "bool":
+                    args.append(x[1])
+                else:
+                    args.append(self.compile(x)[0])
+            f = lookup_fn(name)
+            out_t = "string" if name.lower() in ("string", "concat", "upper", "lower", "translate", "trim") else None
+            return f(*args), out_t
+        if kind == "case":
+            whens, other = ast[1], ast[2]
+            expr = None
+            for cond, val in whens:
+                c, _ = self.compile(cond)
+                v, _ = self.compile(val)
+                expr = F.when(c, v) if expr is None else expr.when(c, v)
+            if other is not None:
+                o, _ = self.compile(other)
+                expr = expr.otherwise(o)
+            return expr, None
+        raise SyntaxError(f"cannot compile AST node {ast!r}")
+
+
+def _promote(a: str | None, b: str | None) -> str | None:
+    order = {"int": 0, "long": 1, "float": 2, "double": 3}
+    if a in order and b in order:
+        # piper promotion: any float-ish mix → double (math_op.rs:16-51)
+        m = max(order[a], order[b])
+        if m >= 2 and a != b:
+            return "double"
+        return [k for k, v in order.items() if v == m][0]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level parser + compiled object
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledPipeline:
+    name: str
+    input_schema: list[tuple[str, str]]  # (name, piper type)
+    stages: list = field(default_factory=list)  # (verb, payload) tuples
+
+    def apply(self, df: DataFrame, sources: dict[str, tuple[DataFrame, str]] | None = None) -> DataFrame:
+        """Run the compiled stages over an existing DataFrame.  ``sources``
+        maps lookup-source name → (DataFrame, key column)."""
+        sources = sources or {}
+        col_types = dict(self.input_schema)
+        p = Pipeline(df)
+        for verb, payload in self.stages:
+            p, col_types = _apply_stage(p, col_types, verb, payload, sources)
+        return p.df
+
+    def run(self, spark: SparkSession, rows: list[dict], sources=None) -> DataFrame:
+        """Reference entry-point parity: materialize a request row set
+        (piper/src/piper.rs:198-240) and run the pipeline over it."""
+        schema = ", ".join(f"{n} {_SPARK_TYPES[t]}" for n, t in self.input_schema)
+        data = [tuple(r.get(n) for n, _ in self.input_schema) for r in rows]
+        df = spark.createDataFrame(data, schema)
+        return self.apply(df, sources)
+
+
+def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> tuple[Pipeline, dict]:
+    ec = ExprCompiler(col_types)
+    if verb == "where":
+        return p.where(ec.compile(payload)[0]), col_types
+    if verb == "take":
+        return p.take(payload), col_types
+    if verb == "top":
+        n, ast, asc, nulls_first = payload
+        return p.top(n, ec.compile(ast)[0], ascending=asc, nulls_first=nulls_first), col_types
+    if verb == "project":
+        cols = {}
+        for name, ast in payload:
+            c, t = ec.compile(ast)
+            cols[name] = c
+            col_types[name] = t
+        return p.project(**cols), col_types
+    if verb == "project-rename":
+        mapping = dict(payload)  # new -> old
+        for new, old in mapping.items():
+            col_types[new] = col_types.pop(old, None)
+        return p.project_rename(**mapping), col_types
+    if verb == "project-remove":
+        for c in payload:
+            col_types.pop(c, None)
+        return p.project_remove(*payload), col_types
+    if verb == "project-keep":
+        col_types = {k: v for k, v in col_types.items() if k in payload}
+        return p.project_keep(*payload), col_types
+    if verb == "explode":
+        col, cast = payload
+        if cast:
+            col_types[col] = cast
+        return p.explode(col, cast=_SPARK_TYPES.get(cast) if cast else None), col_types
+    if verb == "ignore-error":
+        return p.ignore_error(), col_types
+    if verb == "distinct":
+        if payload:
+            col_types = {k: v for k, v in col_types.items() if k in payload}
+        return p.distinct(*payload), col_types
+    if verb == "summarize":
+        aggs_ast, keys_ast = payload
+        aggs = {}
+        for name, fn_name, arg_asts in aggs_ast:
+            args = [ec.compile(a)[0] for a in arg_asts]
+            aggs[name] = agg_fn(fn_name)(*args)
+            col_types[name] = None
+        if keys_ast:
+            by = {}
+            for kname, kast in keys_ast:
+                by[kname] = ec.compile(kast)[0] if kast is not None else F.col(kname)
+            out_types = {n: None for n in aggs}
+            out_types.update({k: col_types.get(k) for k in by})
+            return p.summarize(aggs, by=by), out_types
+        return p.summarize(aggs), {n: None for n in aggs}
+    if verb in ("lookup", "join"):
+        fields, src_name, key_ast, kind = payload
+        if src_name not in sources:
+            raise KeyError(f"lookup source '{src_name}' not provided")
+        src_df, src_key = sources[src_name]
+        fmap = {}
+        for dst, src_f, ftype in fields:
+            fmap[dst] = src_f
+            col_types[dst] = ftype
+        key_expr = ec.compile(key_ast)[0]
+        if verb == "lookup":
+            newp = p.lookup(src_df, on=key_expr, key=src_key, fields=fmap)
+        else:
+            newp = p.join(src_df, kind, on=key_expr, key=src_key, fields=fmap)
+        # apply 'as type' casts from rename_with_type
+        casts = {dst: F.col(dst).cast(_SPARK_TYPES[t]) for dst, _, t in fields if t}
+        if casts:
+            newp = Pipeline(newp.df.withColumns(casts))
+        return newp, col_types
+    raise SyntaxError(f"unknown verb {verb}")
+
+
+def parse_pipelines(src: str) -> dict[str, CompiledPipeline]:
+    """Parse a full pipeline.conf (possibly several pipelines)."""
+    ps = Parser(tokenize(src))
+    out: dict[str, CompiledPipeline] = {}
+    while ps.peek() is not None:
+        pl = _parse_pipeline(ps)
+        out[pl.name] = pl
+    return out
+
+
+def _parse_pipeline(ps: Parser) -> CompiledPipeline:
+    name = ps.take_id()
+    ps.take("(")
+    schema: list[tuple[str, str]] = []
+    while True:
+        col = ps.take_id()
+        ctype = "dynamic"
+        if ps.at_kw("as"):
+            ps.take()
+            ctype = ps.take_id().lower()
+            if ctype not in _TYPES:
+                raise SyntaxError(f"unknown type {ctype}")
+        schema.append((col, ctype))
+        if ps.at(","):
+            ps.take(",")
+            continue
+        break
+    ps.take(")")
+    stages = []
+    while ps.at("|"):
+        ps.take("|")
+        stages.append(_parse_stage(ps))
+    ps.take(";")
+    return CompiledPipeline(name, schema, stages)
+
+
+def _parse_stage(ps: Parser):
+    verb = ps.take_id().lower()
+    if verb == "where":
+        return ("where", ps.expr())
+    if verb == "take":
+        return ("take", int(ps.take().text))
+    if verb == "top":
+        n = int(ps.take().text)
+        if not ps.at_kw("by"):
+            raise SyntaxError("expected 'by' after top N")
+        ps.take()
+        e = ps.expr()
+        asc = False
+        nulls_first = None
+        if ps.at_kw("asc", "desc"):
+            asc = ps.take().text.lower() == "asc"
+        if ps.at_kw("nulls"):
+            ps.take()
+            nulls_first = ps.take_id().lower() == "first"
+        return ("top", (n, e, asc, nulls_first))
+    if verb == "project":
+        cols = []
+        while True:
+            cname = ps.take_id()
+            ps.take("=")
+            cols.append((cname, ps.expr()))
+            if ps.at(","):
+                ps.take(",")
+                continue
+            break
+        return ("project", cols)
+    if verb == "project-rename":
+        pairs = []
+        while True:
+            new = ps.take_id()
+            ps.take("=")
+            old = ps.take_id()
+            pairs.append((new, old))
+            if ps.at(","):
+                ps.take(",")
+                continue
+            break
+        return ("project-rename", pairs)
+    if verb in ("project-remove", "project-keep"):
+        cols = [ps.take_id()]
+        while ps.at(","):
+            ps.take(",")
+            cols.append(ps.take_id())
+        return (verb, cols)
+    if verb in ("explode", "mv-expand"):
+        col = ps.take_id()
+        cast = None
+        if ps.at_kw("as"):
+            ps.take()
+            cast = ps.take_id().lower()
+        return ("explode", (col, cast))
+    if verb == "ignore-error":
+        return ("ignore-error", None)
+    if verb == "distinct":
+        cols = []
+        if ps.at_kw("by"):
+            ps.take()
+            cols.append(ps.take_id())
+            while ps.at(","):
+                ps.take(",")
+                cols.append(ps.take_id())
+        return ("distinct", cols)
+    if verb == "summarize":
+        aggs = []
+        while True:
+            aname = ps.take_id()
+            ps.take("=")
+            fn_name = ps.take_id()
+            ps.take("(")
+            args = []
+            if not ps.at(")"):
+                args.append(ps.expr())
+                while ps.at(","):
+                    ps.take(",")
+                    args.append(ps.expr())
+            ps.take(")")
+            aggs.append((aname, fn_name, args))
+            if ps.at(","):
+                ps.take(",")
+                continue
+            break
+        keys = []
+        if ps.at_kw("by"):
+            ps.take()
+            while True:
+                kname = ps.take_id()
+                kast = None
+                if ps.at("="):
+                    ps.take("=")
+                    kast = ps.expr()
+                keys.append((kname, kast))
+                if ps.at(","):
+                    ps.take(",")
+                    continue
+                break
+        return ("summarize", (aggs, keys))
+    if verb in ("lookup", "join"):
+        kind = None
+        if verb == "join":
+            if not ps.at_kw("kind"):
+                raise SyntaxError("expected kind= after join")
+            ps.take()
+            ps.take("=")
+            kind = ps.take_id().lower()
+        fields = []
+        while True:
+            a = ps.take_id()
+            dst, src_f = a, a
+            if ps.at("="):
+                ps.take("=")
+                src_f = ps.take_id()
+                dst = a
+            ftype = None
+            if ps.at_kw("as"):
+                ps.take()
+                ftype = ps.take_id().lower()
+            fields.append((dst, src_f, ftype))
+            if ps.at(","):
+                ps.take(",")
+                continue
+            break
+        if not ps.at_kw("from"):
+            raise SyntaxError("expected 'from' in lookup/join")
+        ps.take()
+        src_name = ps.take_id()
+        if not ps.at_kw("on"):
+            raise SyntaxError("expected 'on' in lookup/join")
+        ps.take()
+        key_ast = ps.expr()
+        return (verb, (fields, src_name, key_ast, kind))
+    raise SyntaxError(f"unknown transformation verb {verb!r}")

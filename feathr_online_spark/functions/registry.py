@@ -1,0 +1,191 @@
+"""Complete piper built-in function registry → Spark Column builders.
+
+Mirrors the reference's registry (piper/src/pipeline/function/mod.rs:49-437,
+which deliberately uses Spark SQL names) name-for-name.  Most entries ARE the
+same-named ``pyspark.sql.functions``; entries whose reference semantics differ
+(0-based indexing, literal split, euclidean mod, ±1-day last_day/next_day…)
+point at the quirk wrappers in functions/piper.py, so a caller migrating off
+the reference gets reference behaviour by name.
+
+Usage::
+
+    from feathr_online_spark.functions.registry import fn
+    df.select(fn("substring")(F.col("s"), 0, 5))   # piper 0-based semantics
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from feathr_online_spark.functions import piper as P
+
+# -- custom/quirk implementations -------------------------------------------
+
+
+def _c(x) -> Column:
+    """Accept Columns or python scalars (the DSL passes literals natively)."""
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _cot(x):  # reference registers cot/csc/sec (function/mod.rs) — Spark has cot since 3.3
+    return F.cot(x) if hasattr(F, "cot") else F.lit(1.0) / F.tan(x)
+
+
+def _csc(x):
+    return F.csc(x) if hasattr(F, "csc") else F.lit(1.0) / F.sin(x)
+
+
+def _sec(x):
+    return F.sec(x) if hasattr(F, "sec") else F.lit(1.0) / F.cos(x)
+
+
+def _last_day_piper(x):
+    """Reference bug-compat: last_day = date + 1 day (function/mod.rs:224),
+    NOT Spark's end-of-month."""
+    return F.date_add(x, 1)
+
+
+def _next_day_piper(x):
+    """Reference bug-compat: next_day = date + 1 day (function/mod.rs:271),
+    NOT Spark's next-weekday."""
+    return F.date_add(x, 1)
+
+
+def _get_json_array(col, path: str):
+    """Reference get_json_array: all JsonPath matches as an array
+    (extract_json.rs:6-80).  Two covered shapes: a path addressing a JSON
+    array (``$.a``), and the reference's demo shape ``$[*].name`` selecting a
+    field from every element of a root array."""
+    m = re.fullmatch(r"\$\[\*\]\.(\w+)", path)
+    if m:
+        fname = m.group(1)
+        arr = F.from_json(col, f"array<map<string,string>>")
+        return F.transform(arr, lambda e: e.getItem(fname))
+    return F.from_json(F.get_json_object(col, path), "array<string>")
+
+
+def _iff(cond, a, b):
+    return F.when(cond, a).otherwise(b)
+
+
+def _timestamp(x, fmt=None):
+    """Reference `timestamp(str[, fmt])` with chrono format (timestamp.rs)."""
+    if fmt is None:
+        return F.to_timestamp(x)
+    return P.timestamp_strftime(x, fmt)
+
+
+def _piper_len(x):
+    """Reference len/length works on strings AND arrays (len.rs).  At build
+    time we can't see the type, so try string length; callers with arrays
+    should use 'size'/'array_size'."""
+    return F.length(x)
+
+
+_REGISTRY: dict[str, object] = {
+    # --- math (function/mod.rs:53-365) ---
+    "abs": F.abs, "acos": F.acos, "acosh": F.acosh, "asin": F.asin, "asinh": F.asinh,
+    "atan": F.atan, "atan2": F.atan2, "atanh": F.atanh, "cbrt": F.cbrt,
+    "ceil": F.ceil, "ceiling": F.ceil, "cos": F.cos, "cosh": F.cosh,
+    "cot": _cot, "csc": _csc, "sec": _sec, "degrees": F.degrees,
+    "e": lambda: F.lit(math.e), "pi": lambda: F.lit(math.pi), "tau": lambda: F.lit(math.tau),
+    "exp": F.exp, "expm1": F.expm1, "factorial": F.factorial, "floor": F.floor,
+    "hypot": F.hypot, "ln": F.log, "log": F.log, "log10": F.log10, "log1p": F.log1p,
+    "log2": F.log2, "mod": P.mod_euclid, "conv": F.conv,
+    "pow": F.pow, "power": F.pow, "radians": F.radians, "round": F.round,
+    "sign": F.signum, "signum": F.signum, "sin": F.sin, "sinh": F.sinh,
+    "sqrt": F.sqrt, "tan": F.tan, "tanh": F.tanh,
+    "rand": F.rand, "random": F.rand,
+    # --- bitwise ---
+    "bit_and": F.bit_and, "bit_or": F.bit_or, "bit_xor": F.bit_xor,
+    "bit_count": F.bit_count, "bit_get": F.bit_get, "getbit": F.getbit,
+    "bit_length": F.bit_length, "bit_not": lambda x: F.bitwise_not(x) if hasattr(F, "bitwise_not") else F.bitwiseNOT(x),
+    "shiftleft": F.shiftleft, "shiftright": F.shiftright,
+    "shiftrightunsigned": F.shiftrightunsigned,
+    "bool_and": F.bool_and, "bool_or": F.bool_or, "every": F.bool_and,
+    # --- string (string_functions.rs, misc_functions.rs:43-186) ---
+    "ascii": F.ascii, "btrim": F.btrim, "char": F.char, "chr": F.char,
+    "char_length": F.char_length, "character_length": F.character_length,
+    "concat": F.concat, "concat_ws": F.concat_ws, "contains": F.contains,
+    "endswith": F.endswith, "startswith": F.startswith, "instr": F.instr,
+    "lcase": F.lower, "lower": F.lower, "ucase": F.upper, "upper": F.upper,
+    "levenshtein": F.levenshtein, "ltrim": F.ltrim, "rtrim": F.rtrim, "trim": F.trim,
+    "repeat": F.repeat,
+    "space": lambda n: F.repeat(F.lit(" "), n),
+    "split": P.split_literal,            # piper splits on a LITERAL delimiter
+    "split_part": F.split_part,
+    "substring": P.substring0,           # piper is 0-based w/ negative wrap
+    "substring_index": F.substring_index, "translate": F.translate,
+    # --- datetime (datetime_functions.rs, timestamp.rs) ---
+    "add_months": F.add_months, "current_date": F.current_date,
+    "current_timestamp": F.current_timestamp, "current_timezone": F.current_timezone,
+    "now": F.now if hasattr(F, "now") else F.current_timestamp,
+    "date": lambda x: _c(x).cast("date"),
+    "date_add": F.date_add, "date_sub": F.date_sub, "date_diff": F.date_diff,
+    "date_from_unix_date": F.date_from_unix_date,
+    "day": F.day, "dayofmonth": F.dayofmonth, "dayofweek": F.dayofweek,
+    "dayofyear": F.dayofyear, "weekday": F.weekday, "weekofyear": F.weekofyear,
+    "hour": F.hour, "minute": F.minute, "month": F.month, "quarter": F.quarter,
+    "second": F.second, "year": F.year,
+    "from_utc_timestamp": F.from_utc_timestamp, "to_utc_timestamp": F.to_utc_timestamp,
+    "last_day": _last_day_piper, "next_day": _next_day_piper,
+    "make_date": F.make_date, "make_timestamp": F.make_timestamp,
+    "timestamp": _timestamp,
+    "timestamp_micros": F.timestamp_micros, "timestamp_millis": F.timestamp_millis,
+    "timestamp_seconds": F.timestamp_seconds,
+    "to_unix_timestamp": F.to_unix_timestamp, "unix_timestamp": F.unix_timestamp,
+    "unix_date": F.unix_date, "unix_micros": F.unix_micros,
+    "unix_millis": F.unix_millis, "unix_seconds": F.unix_seconds,
+    # --- array (array_functions.rs, misc_functions.rs:306-359, len.rs) ---
+    "array": F.array, "array_contains": F.array_contains,
+    "array_distinct": F.array_distinct, "array_except": F.array_except,
+    "array_intersect": F.array_intersect, "array_join": F.array_join,
+    "array_max": F.array_max, "array_min": F.array_min,
+    "array_position": F.array_position, "array_remove": F.array_remove,
+    "array_repeat": F.array_repeat, "array_size": F.array_size,
+    "array_union": F.array_union, "arrays_overlap": F.arrays_overlap,
+    "arrays_zip": F.arrays_zip, "flatten": F.flatten, "size": F.size,
+    "slice": P.slice0,                   # piper 0-based [start, end)
+    "element_at": P.element_at0,         # piper 0-based, null OOR
+    "elt": F.elt, "length": _piper_len, "len": _piper_len,
+    # --- map/object (mod.rs:249-255) ---
+    "map_contains_key": F.map_contains_key, "map_from_arrays": F.map_from_arrays,
+    "map_keys": F.map_keys, "map_values": F.map_values,
+    # --- JSON (extract_json.rs, to_json.rs, misc_functions.rs:275-304) ---
+    "get_json_object": F.get_json_object, "get_json_array": _get_json_array,
+    "json_array_length": F.json_array_length, "json_object_keys": F.json_object_keys,
+    "to_json": F.to_json,
+    # --- regex (regexp.rs) ---
+    "regexp": F.regexp_like, "regexp_like": F.regexp_like,
+    "regexp_extract": F.regexp_extract, "regexp_extract_all": F.regexp_extract_all,
+    "regexp_replace": F.regexp_replace,
+    # --- conditional/null (mod.rs:198-291) ---
+    "if": _iff, "iff": _iff, "ifnull": F.ifnull, "isnan": F.isnan,
+    "isnotnull": F.isnotnull, "isnull": F.isnull, "nanvl": F.nanvl,
+    "nullif": F.nullif, "nvl": F.nvl, "nvl2": F.nvl2, "coalesce": F.coalesce,
+    "positive": F.positive,
+    # --- type conversion (type_conv.rs) ---
+    "bigint": lambda x: _c(x).cast("long"), "int": lambda x: _c(x).cast("int"),
+    "double": lambda x: _c(x).cast("double"), "float": lambda x: _c(x).cast("float"),
+    "boolean": lambda x: _c(x).cast("boolean"), "string": lambda x: _c(x).cast("string"),
+    # --- piper extras (mod.rs:429-435) ---
+    "bucket": P.bucket, "distance": P.distance_km, "uuid": F.uuid if hasattr(F, "uuid") else F.expr("uuid()"),
+    "div": P.div,
+}
+
+
+def fn(name: str):
+    """Look up a piper built-in by name; raises KeyError with the full list
+    on miss (same behaviour as the reference's unknown-function build error)."""
+    key = name.lower()
+    if key not in _REGISTRY:
+        raise KeyError(f"unknown piper function '{name}'")
+    return _REGISTRY[key]
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)

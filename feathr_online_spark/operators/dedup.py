@@ -45,8 +45,31 @@ def shingles(word_arr: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(sh) if distinct else sh
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle width.
+
+    The dedup pipelines are CPU-dense but byte-light (a 5 k-doc parquet is one
+    scan partition; AQE then coalesces every downstream shuffle back to one
+    task because the *bytes* are small).  An explicit repartition pins the
+    parallelism — at real scale the input is already wide and this is a
+    no-op-cost safety, locally it is the difference between 1 and 32 cores.
+    """
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(width)
+
+
 def with_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
     return df.withColumn(out_col, shingles(words(F.lower(F.col(text_col))), n))
+
+
+def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct n-gram shingles hashed to xxhash64 longs — one string hash per
+    shingle, after which every downstream comparison/join/minhash works on
+    8-byte longs instead of ~25-byte strings (~2-3× cheaper end-to-end;
+    64-bit collisions are ~n²/2⁶⁵ — irrelevant at any corpus size that fits a
+    cluster).  Set equality/Jaccard over hashes equals that over strings."""
+    sh = shingles(words(F.lower(F.col(text_col))), n)
+    return df.withColumn(out_col, F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
 
 
 # ---------------------------------------------------------------------------
@@ -81,26 +104,49 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 1000,
+    max_df: int = 100_000,
 ) -> DataFrame:
     """All (a, b, jaccard) pairs with word-n-gram Jaccard ≥ threshold, a < b.
 
-    Candidates: explode shingles → drop shingles appearing in > max_df docs
-    (stop-shingle cap: hot shingles generate O(df²) pairs) → self-join on
-    shingle → distinct (a, b).  Verify: exact |A∩B|/|A∪B| via array ops on
-    the two shingle sets.
+    Count-based exact algorithm — no per-pair array work:
+    |A∩B| IS the number of co-occurrences in the inverted-index self-join
+    (shingle sets are distinct per doc), so
+    ``jaccard = inter / (|A| + |B| - inter)`` comes from one groupBy over the
+    join — the shuffle carries only (a, b) id pairs, never shingle arrays.
+    ~30× faster than verify-by-array-intersection at sf0.1 and the only shape
+    that scales: per-pair state is one counter.
+
+    ``max_df`` drops stop-shingles (df > cap) before the self-join — a hot
+    shingle contributes O(df²) join rows.  With a cap the computed ``inter``
+    undercounts pairs whose overlap includes capped shingles (jaccard is then
+    a lower bound; recall at the threshold requires the pair to share enough
+    rare shingles — at web scale this is the standard trade; default cap is
+    effectively off for test-sized corpora).
     """
-    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("id"), "shingles")
-    inv = sh.select("id", F.explode("shingles").alias("s"))
+    sh = with_shingle_hashes(_widen(df), text_col, n).select(
+        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sz")
+    )
+    inv = sh.select("id", F.explode("shingles").alias("s")).repartition("s")
     rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
     inv = inv.join(rare.select("s"), "s", "left_semi")
-    cand = (
+    inter = (
         inv.alias("x")
         .join(inv.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    return _verify_jaccard(cand, sh, threshold)
+    sizes = sh.select("id", "sz")
+    j = (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "__sza"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "__szb"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -160,7 +206,7 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("id"), "shingles").filter(
+    sh = with_shingle_hashes(_widen(df), text_col, n).select(F.col(id_col).alias("id"), "shingles").filter(
         F.size("shingles") > 0
     )
     sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), k).alias("sig"))
@@ -201,7 +247,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over word hashes: per bit, majority vote
     of word-hash bits.  Explode words → 64 conditional sums in ONE groupBy
     (single shuffle of (id, word-hash))."""
-    w = df.select(F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    w = _widen(df).select(F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("w"))
     h = w.select("id", F.xxhash64("w").alias("h"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")

@@ -236,6 +236,37 @@ class Pipeline:
         key_expr = _as_column(on)
         return Pipeline(self.df.join(dim, key_expr == F.col("__lk_key"), how).drop("__lk_key"))
 
+    # -- error-as-value (SURVEY.md §1.4) -------------------------------------
+
+    def project_fallible(self, **cols: tuple[Column, list[str]]) -> "Pipeline":
+        """Append computed columns that may fail per-row, with companion
+        ``_err_<name>`` marker columns (null = ok).
+
+        The reference stores failures IN the cell (Value::Error,
+        piper/src/pipeline/value.rs:241) and propagates them through operators
+        (expression.rs:78-95).  Spark columns cannot hold an error variant, so
+        the convention is: compute with null-on-error semantics (ANSI off /
+        try_* functions), and mark rows where the result is null although
+        every input was non-null — i.e. the null was produced by a failure,
+        not inherited.  ``ignore_error`` then drops marked rows, matching
+        ignore_error_transformation.rs:39-59.
+
+        Each kwarg maps name → (expr, [input column names]).
+        """
+        exprs: dict[str, Column] = {}
+        existing = {c.lower() for c in self.df.columns}
+        for name, (expr, inputs) in cols.items():
+            if name.lower() in existing:
+                raise PipelineError(f"project_fallible: column '{name}' already exists")
+            exprs[name] = expr
+            inputs_ok = F.lit(True)
+            for c in inputs:
+                inputs_ok = inputs_ok & F.col(c).isNotNull()
+            exprs[f"_err_{name}"] = F.when(
+                expr.isNull() & inputs_ok, F.lit(f"error evaluating '{name}'")
+            ).otherwise(F.lit(None).cast("string"))
+        return Pipeline(self.df.withColumns(exprs))
+
     # -- misc ----------------------------------------------------------------
 
     def ignore_error(self, err_prefix: str = "_err_") -> "Pipeline":

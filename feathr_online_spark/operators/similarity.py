@@ -123,6 +123,15 @@ def knn_lsh(
     )
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize an array<numeric> column (double).  Normalizing ONCE per
+    vector turns every pairwise cosine into a bare dot product — O(d) saved
+    per pair, which at |C|²/2 pairs is the dominant cost."""
+    vd = vec.cast("array<double>")
+    n = _norm(vd)
+    return F.transform(vd, lambda x: x / n)
+
+
 def embedding_topk_pairs(
     corpus: DataFrame,
     k: int = 20,
@@ -130,13 +139,17 @@ def embedding_topk_pairs(
     c_vec: str = "embedding",
 ) -> DataFrame:
     """Global top-k most-similar (a, b) corpus pairs by cosine — the
-    embedding near-dup report.  Self-join on a < b; Catalyst broadcasts the
-    smaller side / AQE splits skew.  For 100 TB corpora swap the self-join
+    embedding near-dup report.  Vectors are unit-normalized map-side (pair
+    scoring = dot product), the self-join is explicitly widened (the corpus
+    is byte-small but the pair space is CPU-huge — AQE's byte-based
+    coalescing must not serialize it).  For 100 TB corpora swap the self-join
     for the LSH bucketing above; this exact variant is the oracle."""
-    a = corpus.select(F.col(c_id).alias("a"), F.col(c_vec).alias("__va"))
-    b = corpus.select(F.col(c_id).alias("b"), F.col(c_vec).alias("__vb"))
+    width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    unit = corpus.select(F.col(c_id).alias("a"), normalized(F.col(c_vec)).alias("__va"))
+    a = unit.repartition(width)
+    b = unit.select(F.col("a").alias("b"), F.col("__va").alias("__vb"))
     pairs = a.join(b, F.col("a") < F.col("b")).select(
-        "a", "b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
+        "a", "b", F.round(_dot(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("a"), F.col("b"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")

@@ -1,0 +1,274 @@
+"""Skew-proof (time-bucketed two-pass) variants of the point-in-time operators.
+
+THE problem at 100 TB: per-entity window operators shuffle on the entity key,
+so a Zipf-hot entity (one doc_id holding 25% of all rows — exactly what the
+synthetic workload plants) lands in ONE task.  AQE splits skewed *joins* but
+not window partitions; the hot task becomes an Amdahl floor that no cluster
+size fixes (measured here: the same job runs 13 s skewed vs 1.5 s deskewed on
+local[32]).
+
+The cure is decomposition, not salting-by-hash (a random salt would break
+order-dependent semantics): slice each entity's timeline into fixed buckets,
+compute the operator *within* (entity, bucket) partitions — now bounded in
+size — and repair the cross-bucket dependency with a second pass over a TINY
+per-(entity, bucket) summary table:
+
+- as-of / forward-fill: running ``last`` within bucket; carry-in = last
+  feature summary of all earlier buckets (window over the summary table);
+  final = coalesce(within, carry).  Exact.
+- sessionize: within-bucket session ordinals; the bucket's first-row gap is
+  re-checked against the previous bucket's last timestamp, and ordinals are
+  shifted by the running sum of corrected per-bucket session counts.  Exact.
+- rolling (rows mode): the last N rows of each bucket are replicated into the
+  entity's next present bucket as context rows (excluded from output), so the
+  trailing frame sees its true predecessors.  Exact when each present bucket
+  holds ≥ N rows per entity (the hot-entity case by construction); choose
+  ``bucket_seconds`` accordingly.
+
+Every pass is Column-only; the big data is shuffled on (entity, bucket) —
+hot entities split across buckets by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bkt(ts_col: str, bucket_seconds: int) -> Column:
+    return F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# As-of join, bucketed
+# ---------------------------------------------------------------------------
+
+def asof_join_bucketed(
+    events: DataFrame,
+    features: DataFrame,
+    on: str = "entity",
+    left_ts: str = "event_time",
+    right_ts: str = "feature_time",
+    strict: bool = True,
+    bucket_seconds: int = 86400,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact strict-`<` as-of join with per-(entity, bucket) parallelism.
+
+    Same semantics as operators.asof.asof_join; the hot-key-proof physical
+    strategy.  Strictness only matters for same-timestamp rows, which by
+    construction share a bucket, so the within-bucket tag ordering handles it
+    and the carry-in (features from strictly earlier buckets) is always safe.
+    """
+    event_cols = [c for c in events.columns if c not in (on, left_ts)]
+    payload = [c for c in features.columns if c not in (on, right_ts)]
+    feat_tag, event_tag = (1, 0) if strict else (0, 1)
+    tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
+
+    ev = events.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(event_tag).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
+        *[F.col(c) for c in event_cols],
+        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+    )
+    ft = features.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(feat_tag).alias("__tag"),
+        tiebreak.cast("long").alias("__tb"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
+        *[F.col(c) for c in payload],
+    )
+    un = ev.unionByName(ft).withColumn("__bkt", _bkt("__ts", bucket_seconds))
+
+    # pass 1: running last within (entity, bucket)
+    w_in = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy("__ts", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = un.select(
+        F.col(on), "__ts", "__tag", "__bkt",
+        *[F.col(c) for c in event_cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w_in).alias(f"__in_{c}") for c in payload],
+    )
+
+    # pass 2: tiny per-(entity, bucket) feature summaries → carry-in
+    fb = ft.withColumn("__bkt", _bkt("__ts", bucket_seconds))
+    fsum = fb.groupBy(on, "__bkt").agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.struct("__ts", "__tb"))).alias(c)
+            for c in payload
+        ]
+    )
+    domain = un.select(on, "__bkt").distinct()
+    w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        domain.join(fsum, [on, "__bkt"], "left")
+        .select(
+            F.col(on), "__bkt",
+            *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in payload],
+        )
+    )
+
+    out = (
+        within.filter(F.col("__tag") == event_tag)
+        .join(carry, [on, "__bkt"])
+        .select(
+            F.col(on), F.col("__ts").alias(left_ts), *event_cols,
+            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")).alias(c) for c in payload],
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward fill, bucketed
+# ---------------------------------------------------------------------------
+
+def forward_fill_bucketed(
+    df: DataFrame,
+    cols: list[str],
+    on: str = "entity",
+    ts: str = "event_time",
+    bucket_seconds: int = 86400,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """Exact forward-fill with bounded partitions (same two-pass shape as the
+    bucketed as-of: within-bucket running last + carry from earlier buckets)."""
+    tb = tiebreak if tiebreak is not None else F.lit(0)
+    d = df.withColumn("__bkt", _bkt(ts, bucket_seconds)).withColumn("__tb", tb.cast("long"))
+    w_in = (
+        Window.partitionBy(on, "__bkt").orderBy(ts, "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_in = {c: F.last(F.col(c), ignorenulls=True).over(w_in) for c in cols}
+    d2 = d.withColumns({f"__in_{c}": e for c, e in filled_in.items()})
+
+    bsum = d.groupBy(on, "__bkt").agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.struct(F.col(ts), "__tb"))).alias(c)
+            for c in cols
+        ]
+    )
+    w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bsum.select(
+        F.col(on), "__bkt",
+        *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in cols],
+    )
+    out = d2.join(carry, [on, "__bkt"]).withColumns(
+        {c: F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")) for c in cols}
+    )
+    return out.drop("__bkt", "__tb", *[f"__in_{c}" for c in cols], *[f"__carry_{c}" for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# Sessionize, bucketed
+# ---------------------------------------------------------------------------
+
+def sessionize_bucketed(
+    df: DataFrame,
+    gap_seconds: int,
+    on: str = "entity",
+    ts: str = "event_time",
+    session_col: str = "session_id",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Exact gap sessionization with bounded partitions.
+
+    Within each (entity, bucket): raw ordinals counting the bucket's first row
+    as a new session.  On the summary table: re-check the first-row gap
+    against the previous bucket's last timestamp (adjust −1 when it is NOT a
+    real boundary) and prefix-sum the corrected per-bucket session counts into
+    per-bucket offsets.  Row session = offset + raw ordinal + adjust − 1.
+    """
+    d = df.withColumn("__bkt", _bkt(ts, bucket_seconds))
+    w_in = Window.partitionBy(on, "__bkt").orderBy(ts)
+    prev_in = F.lag(F.col(ts)).over(w_in)
+    is_new_raw = (
+        prev_in.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_in) > F.lit(gap_seconds))
+    ).cast("long")
+    run = Window.partitionBy(on, "__bkt").orderBy(ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d2 = d.withColumn("__s_raw", F.sum(is_new_raw).over(run))
+
+    bsum = d.groupBy(on, "__bkt").agg(F.min(ts).alias("__first_ts"), F.max(ts).alias("__last_ts"))
+    raw_counts = d2.groupBy(on, "__bkt").agg(F.max("__s_raw").alias("__raw_news"))
+    w_prev = Window.partitionBy(on).orderBy("__bkt")
+    summ = (
+        bsum.join(raw_counts, [on, "__bkt"])
+        .withColumn("__prev_last", F.lag("__last_ts").over(w_prev))
+        .withColumn(
+            "__adjust",
+            F.when(
+                F.col("__prev_last").isNotNull()
+                & (
+                    F.unix_timestamp("__first_ts") - F.unix_timestamp("__prev_last")
+                    <= F.lit(gap_seconds)
+                ),
+                F.lit(-1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum(F.col("__raw_news") + F.col("__adjust")).over(
+                    Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(on, "__bkt", "__adjust", "__offset")
+    )
+    out = d2.join(summ, [on, "__bkt"]).withColumn(
+        session_col, F.col("__offset") + F.col("__s_raw") + F.col("__adjust") - 1
+    )
+    return out.drop("__bkt", "__s_raw", "__adjust", "__offset")
+
+
+# ---------------------------------------------------------------------------
+# Rolling (rows mode), bucketed
+# ---------------------------------------------------------------------------
+
+def rolling_bucketed(
+    df: DataFrame,
+    aggs: dict[str, tuple[str, str]],
+    on: str = "entity",
+    ts: str = "event_time",
+    rows: int = 16,
+    include_current: bool = True,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Trailing N-rows aggregates with bounded partitions.
+
+    The last N rows of every (entity, bucket) are replicated as context rows
+    into the entity's NEXT PRESENT bucket (so sparse timelines don't break),
+    the window runs within (entity, bucket) over real+context rows, context
+    rows are dropped from the output.  Exact when each present bucket holds
+    ≥ N rows per entity; with fewer, history reaching 2+ buckets back is
+    truncated (documented trade-off — size buckets so hot entities exceed N).
+    """
+    d = df.withColumn("__bkt", _bkt(ts, bucket_seconds)).withColumn("__ctx", F.lit(0))
+    w_desc = Window.partitionBy(on, "__bkt").orderBy(F.col(ts).desc())
+    # entity's bucket chain: next present bucket per (entity, bucket)
+    chain = (
+        d.select(on, "__bkt").distinct()
+        .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
+    )
+    tails = (
+        d.withColumn("__rnd", F.row_number().over(w_desc))
+        .filter(F.col("__rnd") <= rows)
+        .drop("__rnd")
+        .join(chain, [on, "__bkt"])
+        .filter(F.col("__next_bkt").isNotNull())
+        .withColumn("__bkt", F.col("__next_bkt"))
+        .drop("__next_bkt")
+        .withColumn("__ctx", F.lit(1))
+    )
+    aug = d.unionByName(tails)
+
+    upper = Window.currentRow if include_current else -1
+    lower = -(rows - 1) if include_current else -rows
+    w = Window.partitionBy(on, "__bkt").orderBy(ts, "__ctx").rowsBetween(lower, upper)
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count, "stddev": F.stddev}
+    out = aug.withColumns({name: fns[fn](col).over(w) for name, (col, fn) in aggs.items()})
+    return out.filter(F.col("__ctx") == 0).drop("__bkt", "__ctx")

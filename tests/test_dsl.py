@@ -1,0 +1,132 @@
+"""DSL front end: parse + compile + run the reference's OWN pipeline.conf
+pipelines (conf/pipeline.conf) against DataFrame-backed lookup sources."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_online_spark.dsl import parse_pipelines
+from tests.conftest import rows
+
+
+def test_smoke_pipeline(spark):
+    # the reference health-check pipeline t(x) | project y=x+42, z=x-42
+    p = parse_pipelines("t(x as int)\n| project y=x+42, z=x-42\n;")["t"]
+    out = p.run(spark, [{"x": 1}, {"x": 2}, {"x": 57}])
+    assert rows(out) == [(1, 43, -41), (2, 44, -40), (57, 99, 15)]
+
+
+def test_expression_precedence(spark):
+    # reference precedence: or at additive level, and at multiplicative level —
+    # so comparisons must be parenthesized before and/or, exactly as in piper
+    p = parse_pipelines(
+        't(a as int, b as int)\n'
+        '| project m = a + b * 2, c = (a > 1) and (b > 1), s = "v=" + string(a)\n'
+        '| project neg = -a + 3, idx_ok = case when a == 1 then "one" else "other" end\n'
+        ';'
+    )["t"]
+    out = p.run(spark, [{"a": 1, "b": 10}, {"a": 3, "b": 0}])
+    got = {r.a: (r.m, r.c, r.s, r.neg, r.idx_ok) for r in out.collect()}
+    assert got[1] == (21, False, "v=1", 2, "one")
+    assert got[3] == (3, False, "v=3", 0, "other")
+
+
+def test_where_top_take_distinct(spark):
+    src = (
+        "p(x as int, k as string)\n"
+        "| where x % 2 == 0\n"
+        "| top 2 by x desc\n"
+        ";"
+    )
+    p = parse_pipelines(src)["p"]
+    out = p.run(spark, [{"x": i, "k": "a"} for i in range(10)])
+    assert sorted(r.x for r in out.collect()) == [6, 8]
+
+
+def test_explode_and_summarize(spark):
+    src = (
+        "p(id as int, arr as array)\n"
+        "| explode arr as int\n"
+        "| summarize n = count(), s = sum(arr) by id\n"
+        ";"
+    )
+    p = parse_pipelines(src)["p"]
+    out = p.run(spark, [{"id": 1, "arr": ["1", "2", "3"]}, {"id": 2, "arr": []}])
+    assert rows(out) == [(3, 6, 1)]  # empty array row dropped (inner explode)
+
+
+def test_is_null_and_case(spark):
+    src = (
+        "p(x as int)\n"
+        '| project isn = x is null, nn = x is not null\n'
+        ";"
+    )
+    p = parse_pipelines(src)["p"]
+    out = p.run(spark, [{"x": 1}, {"x": None}])
+    got = sorted([tuple(r)[1:] for r in out.collect()])
+    assert got == [(False, True), (True, False)]
+
+
+def test_lookup_and_join_via_dsl(spark):
+    jt = spark.createDataFrame(
+        [(1, "Jack", 30), (1, "Jane", 31), (2, "Jill", 33), (4, "Joan", 35)],
+        "group_id int, name string, age int",
+    )
+    sources = {"join_test": (jt, "group_id")}
+    src = (
+        "test_join_inner(id as int)\n"
+        "| join kind=left-inner name, age from join_test on id\n"
+        "| summarize avg_age=avg(double(age)), names=array_agg(name) by id\n"
+        "| explode names\n"
+        ";"
+    )
+    p = parse_pipelines(src)["test_join_inner"]
+    out = p.run(spark, [{"id": 1}, {"id": 2}, {"id": 3}], sources)
+    got = sorted([(r.id, r.names) for r in out.collect()])
+    assert got == [(1, "Jack"), (1, "Jane"), (2, "Jill")]
+
+
+def test_nyc_taxi_local_compute_from_reference_conf(spark):
+    """Run the reference demo pipeline nyc_taxi_demo_3_local_compute verbatim
+    (conf/pipeline.conf:20-23), including its chrono time format."""
+    src = open("/root/reference/conf/pipeline.conf").read()
+    pipes = parse_pipelines(src)
+    p = pipes["nyc_taxi_demo_3_local_compute"]
+    out = p.run(spark, [{
+        "pu_loc_id": 41, "do_loc_id": 57,
+        "pu_time": "2020/4/1 0:25", "do_time": "2020/4/1 0:34",
+        "trip_distance": 1.5, "fare_amount": 7.0,
+    }])
+    r = out.collect()[0]
+    assert r.duration_second == 540
+    assert r.speed_mph == pytest.approx(1.5 * 3600 / 540)
+
+
+def test_reference_conf_parses_completely():
+    """Every pipeline in the reference's demo conf parses and compiles."""
+    src = open("/root/reference/conf/pipeline.conf").read()
+    pipes = parse_pipelines(src)
+    assert len(pipes) >= 12
+    assert "movie_metadata" in pipes and "nyc_taxi_demo" in pipes
+
+
+def test_movie_metadata_shape(spark):
+    """movie_metadata exercises chained lookups, json array extraction,
+    string concat, project-remove (conf/pipeline.conf:62-70)."""
+    src = open("/root/reference/conf/pipeline.conf").read()
+    p = parse_pipelines(src)["movie_metadata"]
+    links = spark.createDataFrame([(5, 111, 901)], "movieId long, imdbId long, tmdbId long")
+    metadata = spark.createDataFrame(
+        [(901, "[{'name': 'Drama'}, {'name': 'Crime'}]", "http://h", 111, "great film",
+          "/poster.jpg", "1994-09-23", 142.0, "The Movie", 8.7, 21862)],
+        "id long, genres string, homepage string, imdb_id long, overview string, "
+        "poster_path string, release_date string, runtime double, title string, "
+        "vote_average double, vote_count long",
+    )
+    sources = {"links": (links, "movieId"), "metadata": (metadata, "id")}
+    out = p.run(spark, [{"id": 5}], sources)
+    r = out.collect()[0]
+    assert r.image_url == "https://image.tmdb.org/t/p/original/poster.jpg"
+    assert r.genres == ["Drama", "Crime"]
+    assert r.tmdb_url == "https://www.themoviedb.org/movie/901"
+    assert r.imdb_url == "https://www.imdb.com/title/111"
+    assert "poster_path" not in out.columns and "genres1" not in out.columns

@@ -1,0 +1,104 @@
+"""Bucketed (skew-proof) operators must produce EXACTLY the same rows as the
+plain single-partition-per-entity implementations — on randomized data with
+ties, nulls, sparse buckets and entities missing from the feature side."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_online_spark.operators.asof import asof_join
+from feathr_online_spark.operators.skew import (
+    asof_join_bucketed,
+    forward_fill_bucketed,
+    rolling_bucketed,
+    sessionize_bucketed,
+)
+from feathr_online_spark.operators.windows import forward_fill, rolling, sessionize
+from tests.conftest import rows
+
+BASE = datetime(2024, 1, 1)
+BUCKET = 3600  # 1h buckets over ~3 days of data → many buckets per entity
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(11)
+    n = 3000
+    # minute offsets with deliberate duplicates; entity 0 is hot (~40%)
+    ents = np.where(rng.random(n) < 0.4, 0, rng.integers(0, 25, n))
+    mins = rng.integers(0, 3 * 24 * 60, n)
+    vals = np.where(rng.random(n) < 0.2, None, np.round(rng.random(n), 3))
+    data = [
+        (int(e), BASE + timedelta(minutes=int(m)), i, float(v) if v is not None else None)
+        for i, (e, m, v) in enumerate(zip(ents, mins, vals))
+    ]
+    return spark.createDataFrame(data, "entity long, event_time timestamp, eid long, value double")
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    rng = np.random.default_rng(12)
+    n = 1500
+    ents = np.where(rng.random(n) < 0.4, 0, rng.integers(0, 30, n))
+    mins = rng.integers(0, 3 * 24 * 60, n)
+    fvals = np.round(rng.random(n), 3)
+    fnull = rng.random(n) < 0.1
+    data = [
+        (int(e), BASE + timedelta(minutes=int(m)), None if isnull else float(v))
+        for e, m, v, isnull in zip(ents, mins, fvals, fnull)
+    ]
+    return spark.createDataFrame(data, "entity long, feature_time timestamp, f double")
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_bucketed_equals_plain(events, features, strict):
+    plain = asof_join(events, features, strict=strict)
+    bucketed = asof_join_bucketed(events, features, strict=strict, bucket_seconds=BUCKET)
+    assert rows(plain) == rows(bucketed)
+
+
+def test_asof_bucketed_no_single_hot_partition(events, features):
+    """The big shuffle must be keyed on (entity, bucket), not entity alone."""
+    plan = asof_join_bucketed(events, features, bucket_seconds=BUCKET)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(entity#" in plan
+    assert "__bkt" in plan.split("hashpartitioning(entity#", 1)[1][:80]
+
+
+def test_forward_fill_bucketed_equals_plain(events):
+    plain = forward_fill(events, ["value"])
+    bucketed = forward_fill_bucketed(events, ["value"], bucket_seconds=BUCKET)
+    assert sorted(r.eid for r in plain.collect()) == sorted(r.eid for r in bucketed.collect())
+    pv = {r.eid: r.value for r in plain.collect()}
+    bv = {r.eid: r.value for r in bucketed.collect()}
+    assert pv == bv
+
+
+def test_sessionize_bucketed_equals_plain(events):
+    plain = sessionize(events, gap_seconds=1800)
+    bucketed = sessionize_bucketed(events, gap_seconds=1800, bucket_seconds=BUCKET)
+    pv = {r.eid: r.session_id for r in plain.collect()}
+    bv = {r.eid: r.session_id for r in bucketed.collect()}
+    assert pv == bv
+
+
+def test_rolling_bucketed_equals_plain(spark):
+    """Distinct timestamps (tie-free) and dense buckets: bucketed rolling must
+    match the plain trailing-N window exactly."""
+    rng = np.random.default_rng(13)
+    n = 4000
+    ents = np.where(rng.random(n) < 0.5, 0, rng.integers(0, 8, n))
+    # unique second offsets → no ordering ambiguity
+    secs = rng.choice(3 * 24 * 3600, size=n, replace=False)
+    data = [
+        (int(e), BASE + timedelta(seconds=int(s)), i, float(i % 97))
+        for i, (e, s) in enumerate(zip(ents, secs))
+    ]
+    df = spark.createDataFrame(data, "entity long, event_time timestamp, eid long, v double")
+    plain = rolling(df, {"s": ("v", "sum"), "c": ("v", "count")}, rows=5, include_current=False)
+    bucketed = rolling_bucketed(df, {"s": ("v", "sum"), "c": ("v", "count")},
+                                rows=5, include_current=False, bucket_seconds=BUCKET * 6)
+    pv = {r.eid: (r.s, r.c) for r in plain.collect()}
+    bv = {r.eid: (r.s, r.c) for r in bucketed.collect()}
+    assert pv == bv

@@ -51,6 +51,8 @@ def run_at(cpus: int, seq: str, feat: str, reps: int) -> dict:
 def main() -> None:
     n_seq = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     sys.path.insert(0, REPO)
     from feathr_online_spark import datagen
@@ -58,7 +60,7 @@ def main() -> None:
     fix = datagen.write_fixture(os.path.join(REPO, ".fixtures", "scaling"), n_seq=n_seq)
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_small, n_big):
         r = run_at(cpus, fix["sequences"], fix["features"], reps)
         best = min(r["times"])
         results[cpus] = {
@@ -68,12 +70,13 @@ def main() -> None:
             "rows_per_sec": round(r["rows"] / best, 1),
         }
 
-    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+    ratio = n_big / n_small
+    eff = (results[n_big]["rows_per_sec"] / results[n_small]["rows_per_sec"]) / ratio
     print(json.dumps({
         "job": "north_rule asof+features",
         "n_seq": n_seq,
-        "local8": results[8],
-        "local32": results[32],
+        f"local{n_small}": results[n_small],
+        f"local{n_big}": results[n_big],
         "scaling_efficiency_n_to_4n": round(eff, 3),
     }))
 
