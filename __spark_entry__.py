@@ -300,6 +300,316 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 
 
 # ---------------------------------------------------------------------------
+# Scalar-function coverage batches (SURVEY.md §2.4) — each query exercises a
+# family of piper built-ins with a DuckDB-dialect oracle.
+# ---------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import feathr_online_spark.functions as pf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_up"),
+        pf.substring0("text", 0, 8).alias("sub0"),          # piper 0-based
+        pf.substring0("text", -6, 6).alias("tail0"),        # negative-from-end
+        F.length("text").alias("n"),
+        F.instr("text", "data").alias("pos_data"),          # 1-based, 0 absent
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_word"),
+        F.concat_ws("|", F.lit("x"), "lang", "source").alias("joined"),
+        F.translate("lang", "en", "EN").alias("lang_tr"),
+        F.levenshtein(F.substring("text", 1, 6), F.lit("spark!")).alias("lev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.ascii("text").alias("first_code"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head_up,
+       substr(text, 1, 8) AS sub0,
+       substr(text, greatest(length(text) - 6, 0) + 1, 6) AS tail0,
+       length(text) AS n,
+       CAST(coalesce(strpos(text, 'data'), 0) AS INT) AS pos_data,
+       string_split(text, ' ')[2] AS second_word,
+       concat_ws('|', 'x', lang, source) AS joined,
+       translate(lang, 'en', 'EN') AS lang_tr,
+       levenshtein(substr(text, 1, 6), 'spark!') AS lev,
+       repeat('ab', 3) AS rep,
+       ascii(substr(text, 1, 1)) AS first_code
+FROM documents
+"""
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),          # Sunday=1
+        F.dayofyear("ts").alias("doy"),
+        F.quarter("ts").alias("q"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_micros("ts").alias("epoch_us"),
+        F.date_add(F.to_date("ts"), 7).alias("plus7"),
+        F.add_months(F.to_date("ts"), 2).alias("plus2mo"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("fmt"),
+    )
+
+
+ORACLE_DATETIME_FUNCS = """
+SELECT event_id,
+       year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, CAST(floor(extract(second FROM ts)) AS INT) AS s,
+       dayofweek(ts) + 1 AS dow,
+       dayofyear(ts) AS doy, quarter(ts) AS q,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       epoch_us(ts) AS epoch_us,
+       (ts::DATE + INTERVAL 7 DAY)::DATE AS plus7,
+       (ts::DATE + INTERVAL 2 MONTH)::DATE AS plus2mo,
+       strftime(ts, '%Y-%m-%d %H') AS fmt
+FROM events
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import feathr_online_spark.functions as pf
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.array_contains(w, "data").alias("has_data"),
+        pf.element_at0(w, 0).alias("w0"),                 # piper 0-based
+        pf.element_at0(w, 10000).alias("w_oor"),          # null out-of-range
+        pf.slice0(w, 1, 3).alias("w12"),                  # piper [start, end)
+        F.array_position(w, "data").alias("pos_data"),    # 1-based like Spark
+        F.array_max(w).alias("w_max"),
+        F.array_min(w).alias("w_min"),
+        F.array_join(F.slice(w, 1, 3), "-").alias("first3"),
+        F.sort_array(F.array_distinct(F.slice(w, 1, 5))).alias("first5_sorted"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_words,
+       len(list_distinct(w)) AS n_distinct,
+       list_contains(w, 'data') AS has_data,
+       w[1] AS w0,
+       NULL AS w_oor,
+       w[2:3] AS w12,
+       CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS pos_data,
+       list_max(w) AS w_max,
+       list_min(w) AS w_min,
+       array_to_string(w[1:3], '-') AS first3,
+       list_sort(list_distinct(w[1:5])) AS first5_sorted
+FROM t
+"""
+
+
+def q_json_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+        F.json_object_keys("props").alias("keys"),
+        F.regexp_extract("event_type", "^(.)", 1).alias("first_ch"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("de_vowel"),
+        F.regexp_like("event_type", F.lit("^(click|view)$")).alias("is_cv"),
+        F.size(F.regexp_extract_all("event_type", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+    )
+
+
+ORACLE_JSON_REGEXP_FUNCS = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.missing') AS k_missing,
+       json_keys(props) AS keys,
+       regexp_extract(event_type, '^(.)', 1) AS first_ch,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS de_vowel,
+       regexp_matches(event_type, '^(click|view)$') AS is_cv,
+       len(regexp_extract_all(event_type, '[aeiou]')) AS n_vowels
+FROM events
+"""
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import feathr_online_spark.functions as pf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 50, "hi").when(F.col("value") > 10, "mid").otherwise("lo").alias("band"),
+        F.nvl(F.nullif(F.col("event_type"), F.lit("error")), F.lit("(err)")).alias("etype"),
+        F.coalesce(F.nullif(F.round("value", 0), F.lit(0.0)), F.lit(-1.0)).alias("val_nz"),
+        pf.bucket(F.col("value"), 10, 20, 50).alias("vbucket"),
+        F.greatest(F.col("value"), F.lit(25.0)).alias("at_least_25"),
+        F.least(F.col("value"), F.lit(25.0)).alias("at_most_25"),
+        F.isnull(F.col("value")).alias("v_null"),
+        F.round(F.pmod(F.col("event_id"), F.lit(7)), 0).alias("id_mod7"),
+    )
+
+
+ORACLE_CONDITIONAL_FUNCS = """
+SELECT event_id,
+       CASE WHEN value > 50 THEN 'hi' WHEN value > 10 THEN 'mid' ELSE 'lo' END AS band,
+       coalesce(nullif(event_type, 'error'), '(err)') AS etype,
+       coalesce(nullif(round(value, 0), 0.0), -1.0) AS val_nz,
+       CASE WHEN value < 10 THEN 0 WHEN value < 20 THEN 1 WHEN value < 50 THEN 2 ELSE 3 END AS vbucket,
+       greatest(value, 25.0) AS at_least_25,
+       least(value, 25.0) AS at_most_25,
+       value IS NULL AS v_null,
+       CAST(event_id % 7 AS DOUBLE) AS id_mod7
+FROM events
+"""
+
+
+def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation registry coverage (SURVEY.md §2.3) by event_type."""
+    from feathr_online_spark.functions.aggregations import agg_fn
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        Pipeline(ev)
+        .summarize(
+            {
+                "n": agg_fn("count")(),
+                "n_hi": agg_fn("count_if")(F.col("value") > 50),
+                "n_users": agg_fn("distinct_count")(F.col("user_id")),
+                "sum_v": F.round(agg_fn("sum")(F.col("value")), 4),
+                "avg_v": F.round(agg_fn("avg")(F.col("value")), 4),
+                "min_v": agg_fn("min")(F.col("value")),
+                "max_v": agg_fn("max")(F.col("value")),
+                "first_user_by_ts": agg_fn("min_by")(F.col("user_id"), F.col("ts")),
+                "last_user_by_ts": agg_fn("max_by")(F.col("user_id"), F.col("ts")),
+                "all_pos": agg_fn("every")(F.col("value") > 0),
+                "any_hi": agg_fn("any")(F.col("value") > 99),
+                "user_set_head": F.sort_array(agg_fn("collect_set")(F.col("user_id") % 10)),
+            },
+            by=["event_type"],
+        )
+        .df
+    )
+
+
+ORACLE_AGG_FUNCS = """
+SELECT count(*) AS n,
+       count(*) FILTER (value > 50) AS n_hi,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_v,
+       round(sum(value) / count(*), 4) AS avg_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       min_by(user_id, ts) AS first_user_by_ts,
+       max_by(user_id, ts) AS last_user_by_ts,
+       bool_and(coalesce(value > 0, false)) AS all_pos,
+       bool_or(coalesce(value > 99, false)) AS any_hi,
+       list_sort(list_distinct(list(user_id % 10))) AS user_set_head,
+       event_type
+FROM events GROUP BY event_type
+"""
+
+
+def q_lag_lead_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window coverage: lag/lead + forward-fill per user."""
+    from feathr_online_spark.operators.windows import forward_fill, lag_lead
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"), F.col("ts").alias("event_time"),
+        "event_id",
+        F.when(F.col("value") > 20, F.round("value", 4)).alias("v"),  # nulls for ffill
+    )
+    out = lag_lead(ev, {"prev_id": ("event_id", -1), "next_id": ("event_id", 1)})
+    out = forward_fill(out, ["v"])
+    return out.select(
+        "event_id", F.col("entity").alias("user_id"),
+        "prev_id", "next_id", F.col("v").alias("v_filled"),
+    )
+
+
+ORACLE_LAG_LEAD_FFILL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > 20 THEN round(value, 4) END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_id,
+       lead(event_id) OVER w AS next_id,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the cogroup/merge_asof (pandas/Arrow) as-of strategy — same semantics,
+    same oracle as the union-window strategy."""
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("event_time"),
+        "event_id",
+        F.round("value", 4).alias("value"),
+    )
+    feat = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
+        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
+    )
+    out = asof_join(left, feat, strategy="cogroup", strict=True)
+    return out.select(
+        "event_id", F.col("entity").alias("user_id"),
+        F.unix_micros("event_time").alias("ts_us"), "value", "purchase_value",
+    )
+
+
+def q_tpch_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join + agg + top (TPC-H Q3 shape): broadcast dims, one shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_JOIN3 = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-data ops: dedup / similarity / text analysis (SURVEY.md §7 + brief)
 # ---------------------------------------------------------------------------
 
@@ -512,6 +822,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup": q_lookup,
         "sessionize": q_sessionize,
         "rolling": q_rolling,
+        "string_funcs": q_string_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "array_funcs": q_array_funcs,
+        "json_regexp_funcs": q_json_regexp_funcs,
+        "conditional_funcs": q_conditional_funcs,
+        "agg_funcs": q_agg_funcs,
+        "lag_lead_ffill": q_lag_lead_ffill,
+        "asof_cogroup": q_asof_cogroup,
+        "tpch_join3": q_tpch_join3,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -536,6 +855,15 @@ def oracle_sql() -> dict[str, str]:
         "lookup": ORACLE_LOOKUP,
         "sessionize": ORACLE_SESSIONIZE,
         "rolling": ORACLE_ROLLING,
+        "string_funcs": ORACLE_STRING_FUNCS,
+        "datetime_funcs": ORACLE_DATETIME_FUNCS,
+        "array_funcs": ORACLE_ARRAY_FUNCS,
+        "json_regexp_funcs": ORACLE_JSON_REGEXP_FUNCS,
+        "conditional_funcs": ORACLE_CONDITIONAL_FUNCS,
+        "agg_funcs": ORACLE_AGG_FUNCS,
+        "lag_lead_ffill": ORACLE_LAG_LEAD_FFILL,
+        "asof_cogroup": ORACLE_ASOF_PURCHASE,
+        "tpch_join3": ORACLE_TPCH_JOIN3,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram": _DUCK_JACCARD_PAIRS,
         "dedup_minhash": _DUCK_JACCARD_PAIRS,

@@ -1,0 +1,54 @@
+"""plans/: lineage metrics, checkpoint/resume, salting."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from feathr_online_spark.plans.checkpoint import load_done_partitions, mark_done, resume_filter
+from feathr_online_spark.plans.lineage import partition_lineage
+from feathr_online_spark.plans.salting import salted_join, with_salt
+
+
+def test_partition_lineage_counts_and_stable_checksum(spark):
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(8)
+    lin = partition_lineage(df).collect()
+    assert sum(r.rows for r in lin) == 10_000
+    assert all(r.wall_time_s >= 0 for r in lin)
+    # global checksum (xor of per-partition checksums) must be independent of
+    # partitioning — reshuffle and compare
+    def global_sum(d):
+        import functools
+        rows = partition_lineage(d).collect()
+        return functools.reduce(lambda a, b: a ^ b, [r.checksum for r in rows], 0)
+    assert global_sum(df) == global_sum(df.repartition(3))
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    manifest = os.path.join(str(tmp_path), "manifest")
+    df = spark.range(0, 1000).withColumnRenamed("id", "entity")
+    # nothing done yet → everything survives
+    assert resume_filter(df, manifest, n_buckets=10).count() == 1000
+    # mark buckets 0..4 done → only entities with pmod(entity,10) in 5..9 remain
+    mark_done(spark, manifest, [0, 1, 2, 3, 4], run_id="r1")
+    remaining = resume_filter(df, manifest, n_buckets=10)
+    assert remaining.count() == 500
+    got_buckets = {r[0] % 10 for r in remaining.collect()}
+    assert got_buckets == {5, 6, 7, 8, 9}
+    # idempotent re-mark
+    mark_done(spark, manifest, [4], run_id="r2")
+    assert load_done_partitions(spark, manifest).count() == 5
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 20_000).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"n{i}") for i in range(5)], "k long, name string")
+    plain = big.join(small, "k").agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    salted = salted_join(big, small, "k", k=8).agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_with_salt_deterministic(spark):
+    df = spark.range(0, 100)
+    a = [r["__salt"] for r in with_salt(df, 16, from_cols=["id"]).orderBy("id").collect()]
+    b = [r["__salt"] for r in with_salt(df, 16, from_cols=["id"]).orderBy("id").collect()]
+    assert a == b and all(0 <= s < 16 for s in a)
