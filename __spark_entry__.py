@@ -609,6 +609,47 @@ LIMIT 10
 """
 
 
+def q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient validation (piper convert_to semantics): coerce a mixed-type
+    projection to a target schema; failed cells null out with _err_ markers;
+    ignore-error then drops marked rows (SURVEY.md §1.3-1.4)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from feathr_online_spark.operators.validation import validated
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        # string column that parses as a number only for short event types
+        F.when(F.col("event_type") == "click", F.lit("1"))
+         .when(F.col("event_type") == "view", F.lit("2"))
+         .otherwise(F.col("event_type")).alias("code"),
+        "value",
+    )
+    target = StructType([
+        StructField("event_id", LongType()),
+        StructField("code", LongType()),      # string→long: lenient-legal, fails per-row
+        StructField("value", DoubleType()),
+    ])
+    out = validated(ev, target, mode="lenient")
+    return (
+        Pipeline(out).ignore_error().df
+        .select("event_id", "code", F.round("value", 4).alias("value"))
+    )
+
+
+ORACLE_VALIDATION = """
+SELECT event_id,
+       TRY_CAST(CASE WHEN event_type = 'click' THEN '1'
+                     WHEN event_type = 'view' THEN '2'
+                     ELSE event_type END AS BIGINT) AS code,
+       round(value, 4) AS value
+FROM events
+WHERE TRY_CAST(CASE WHEN event_type = 'click' THEN '1'
+                    WHEN event_type = 'view' THEN '2'
+                    ELSE event_type END AS BIGINT) IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup / similarity / text analysis (SURVEY.md §7 + brief)
 # ---------------------------------------------------------------------------
@@ -831,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead_ffill": q_lag_lead_ffill,
         "asof_cogroup": q_asof_cogroup,
         "tpch_join3": q_tpch_join3,
+        "validation": q_validation,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -864,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_lead_ffill": ORACLE_LAG_LEAD_FFILL,
         "asof_cogroup": ORACLE_ASOF_PURCHASE,
         "tpch_join3": ORACLE_TPCH_JOIN3,
+        "validation": ORACLE_VALIDATION,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram": _DUCK_JACCARD_PAIRS,
         "dedup_minhash": _DUCK_JACCARD_PAIRS,
