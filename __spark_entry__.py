@@ -609,6 +609,54 @@ LIMIT 10
 """
 
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the skew-proof time-bucketed as-of strategy (operators/skew.py) —
+    exact semantics, so it shares the LATERAL oracle with the other two."""
+    from feathr_online_spark.operators.skew import asof_join_bucketed
+
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("entity"), F.col("ts").alias("event_time"),
+        "event_id", F.round("value", 4).alias("value"),
+    )
+    feat = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
+        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
+    )
+    out = asof_join_bucketed(left, feat, strict=True, bucket_seconds=86400)
+    return out.select(
+        "event_id", F.col("entity").alias("user_id"),
+        F.unix_micros("event_time").alias("ts_us"), "value", "purchase_value",
+    )
+
+
+def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew-proof sessionization — same oracle as the plain verb."""
+    from feathr_online_spark.operators.skew import sessionize_bucketed
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"), F.col("ts").alias("event_time"), "event_id"
+    )
+    out = sessionize_bucketed(ev, gap_seconds=1800, bucket_seconds=86400)
+    return out.groupBy("entity").agg(
+        F.max("session_id").alias("max_session"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("entity").alias("user_id"), "max_session", "n_events")
+
+
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approximate sketches for 100 TB-scale profiling: HLL distinct users and
+    approx quantiles of value per event type (no cross-engine oracle — sketch
+    internals are engine-specific; accuracy asserted in pytest vs exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        F.approx_count_distinct("user_id").alias("approx_users_hllpp"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+    )
+
+
 def q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient validation (piper convert_to semantics): coerce a mixed-type
     projection to a target schema; failed cells null out with _err_ markers;
@@ -873,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_cogroup": q_asof_cogroup,
         "tpch_join3": q_tpch_join3,
         "validation": q_validation,
+        "asof_bucketed": q_asof_bucketed,
+        "sessionize_bucketed": q_sessionize_bucketed,
+        "sketches": q_sketches,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -907,6 +958,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_cogroup": ORACLE_ASOF_PURCHASE,
         "tpch_join3": ORACLE_TPCH_JOIN3,
         "validation": ORACLE_VALIDATION,
+        "asof_bucketed": ORACLE_ASOF_PURCHASE,
+        "sessionize_bucketed": ORACLE_SESSIONIZE,
+        # sketches: intentionally no oracle (sketch estimates are
+        # engine-specific; pytest asserts accuracy vs exact counts)
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram": _DUCK_JACCARD_PAIRS,
         "dedup_minhash": _DUCK_JACCARD_PAIRS,

@@ -179,9 +179,15 @@ def _asof_cogroup(
         )
         return merged[event_cols + payload]
 
+    # Pin the cogroup width: the Arrow/pandas merge is CPU-dense but
+    # byte-light, and AQE's size-based coalescing would otherwise funnel
+    # every group through ONE python worker (measured 14s -> 2s at sf0.1).
+    width = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ev_w = events.repartition(width, on)
+    ft_w = ft.repartition(width, on)
     return (
-        events.groupBy(on)
-        .cogroup(ft.groupBy(on))
+        ev_w.groupBy(on)
+        .cogroup(ft_w.groupBy(on))
         .applyInPandas(merge, schema=out_schema)
     )
 

@@ -105,6 +105,25 @@ def test_leakage_property_randomized(spark):
     assert rows(joined) == rows(alt)
 
 
+def test_chained_multi_feature_tables(spark):
+    """Two feature tables attach independently by chaining asof_join — the
+    Feathr-style multi-source point-in-time enrichment."""
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"), "e1")], "entity long, event_time timestamp, eid string"
+    )
+    fa = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1.5)], "entity long, feature_time timestamp, fa double"
+    )
+    fb = spark.createDataFrame(
+        [(1, ts("2024-01-01 11:00:00"), "x"), (1, ts("2024-01-01 13:00:00"), "leak")],
+        "entity long, feature_time timestamp, fb string",
+    )
+    out = asof_join(asof_join(events, fa), fb)
+    r = out.collect()[0]
+    assert (r.fa, r.fb) == (1.5, "x")
+    assert out.columns == ["entity", "event_time", "eid", "fa", "fb"]
+
+
 def test_deterministic_among_equal_ts_features(spark):
     """Multiple feature rows at the same (entity, ts): winner must be stable
     across runs/orderings."""
