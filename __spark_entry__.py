@@ -37,8 +37,31 @@ from feathr_online_spark.operators.text import lang_id, quality_features, qualit
 from feathr_online_spark.operators.windows import rolling, sessionize
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Make a caller-provided session (the driver creates its own) behave like
+    feathr_online_spark.session.get_spark: UTC timestamps, parquet timestamps
+    as LTZ, Arrow for the pandas paths, ANSI off.  All of these are
+    runtime-settable confs."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.ansi.enabled": "false",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _prep(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # belt-and-braces: if NTZ still slipped through, align to TIMESTAMP
+    casts = {f.name: F.col(f.name).cast("timestamp")
+             for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"}
+    return df.withColumns(casts) if casts else df
 
 
 # ---------------------------------------------------------------------------

@@ -104,3 +104,23 @@ def validated(df: DataFrame, schema: StructType, mode: str = "lenient") -> DataF
             .alias(f"_err_{name}")
         )
     return df.select(*cols)
+
+
+def collect_errors(df: DataFrame, err_prefix: str = "_err_") -> DataFrame:
+    """The reference's error side channel (dataset.rs:238-310 collects per-cell
+    errors into ``errors: [{row, column, message}]`` next to the data) as an
+    aggregate report: one row per (column, message) with a count — the
+    scalable form (per-row error lists don't fit a 10^12-row response).
+    """
+    err_cols = [c for c in df.columns if c.startswith(err_prefix)]
+    if not err_cols:
+        return df.sparkSession.createDataFrame([], "column string, message string, n long")
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c[len(err_prefix):]).alias("column"), F.col(c).alias("message"))
+                for c in err_cols
+            ])
+        ).alias("e")
+    ).select("e.column", "e.message").filter(F.col("message").isNotNull())
+    return stacked.groupBy("column", "message").agg(F.count(F.lit(1)).alias("n"))

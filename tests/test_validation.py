@@ -4,7 +4,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType, StructField, IntegerType, StringType, BooleanType
 
 from feathr_online_spark.operators.pipeline import Pipeline
-from feathr_online_spark.operators.validation import validated
+from feathr_online_spark.operators.validation import collect_errors, validated
 
 TARGET = StructType([
     StructField("col1", IntegerType()),
@@ -60,3 +60,17 @@ def test_extra_columns_dropped_and_ignore_error_composes(spark):
     assert "extra" not in out.columns
     kept = Pipeline(out).ignore_error().df
     assert [r.col2 for r in kept.collect()] == ["a"]  # the 'x' row drops
+
+
+def test_collect_errors_report(spark):
+    df = spark.createDataFrame(
+        [("1", "a", 1), ("x", "b", 0), ("y", "c", 1)],
+        "col1 string, col2 string, col3 int",
+    )
+    out = validated(df, TARGET, mode="lenient")
+    rep = {(r.column, r.n) for r in collect_errors(out).collect()}
+    assert ("col1", 2) in rep  # 'x' and 'y' failed string→int
+    # clean frame → empty report with stable schema
+    clean = spark.createDataFrame([(1,)], "v int")
+    empty = collect_errors(clean)
+    assert empty.count() == 0 and empty.columns == ["column", "message", "n"]
