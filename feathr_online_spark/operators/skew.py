@@ -234,31 +234,48 @@ def rolling_bucketed(
     aggs: dict[str, tuple[str, str]],
     on: str = "entity",
     ts: str = "event_time",
-    rows: int = 16,
+    rows: int | None = None,
+    range_seconds: int | None = None,
     include_current: bool = True,
     bucket_seconds: int = 86400,
 ) -> DataFrame:
-    """Trailing N-rows aggregates with bounded partitions.
+    """Trailing-window aggregates with bounded partitions (rows OR time mode).
 
-    The last N rows of every (entity, bucket) are replicated as context rows
-    into the entity's NEXT PRESENT bucket (so sparse timelines don't break),
-    the window runs within (entity, bucket) over real+context rows, context
-    rows are dropped from the output.  Exact when each present bucket holds
-    ≥ N rows per entity; with fewer, history reaching 2+ buckets back is
-    truncated (documented trade-off — size buckets so hot entities exceed N).
+    Rows mode: the last N rows of every (entity, bucket) are replicated as
+    context rows into the entity's NEXT PRESENT bucket (so sparse timelines
+    don't break), the window runs within (entity, bucket) over real+context
+    rows, context rows are dropped from the output.  Exact when each present
+    bucket holds ≥ N rows per entity; with fewer, history reaching 2+ buckets
+    back is truncated (size buckets so hot entities exceed N).
+
+    Time mode (``range_seconds``): rows within ``range_seconds`` of their
+    bucket's end are replicated instead.  EXACT unconditionally for
+    ``range_seconds ≤ bucket_seconds`` — value-based frames are immune to the
+    tie-ordering ambiguity of row frames, and a context row landing in a
+    later far bucket is simply outside the frame.
     """
+    if (rows is None) == (range_seconds is None):
+        raise ValueError("rolling_bucketed: specify exactly one of rows / range_seconds")
+    if range_seconds is not None and range_seconds > bucket_seconds:
+        raise ValueError("rolling_bucketed: range_seconds must be ≤ bucket_seconds (single-hop context)")
     d = df.withColumn("__bkt", _bkt(ts, bucket_seconds)).withColumn("__ctx", F.lit(0))
-    w_desc = Window.partitionBy(on, "__bkt").orderBy(F.col(ts).desc())
     # entity's bucket chain: next present bucket per (entity, bucket)
     chain = (
         d.select(on, "__bkt").distinct()
         .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
     )
+    if rows is not None:
+        w_desc = Window.partitionBy(on, "__bkt").orderBy(F.col(ts).desc())
+        tails = (
+            d.withColumn("__rnd", F.row_number().over(w_desc))
+            .filter(F.col("__rnd") <= rows)
+            .drop("__rnd")
+        )
+    else:
+        bucket_end = (F.col("__bkt") + 1) * bucket_seconds
+        tails = d.filter(F.unix_timestamp(F.col(ts)) >= bucket_end - range_seconds)
     tails = (
-        d.withColumn("__rnd", F.row_number().over(w_desc))
-        .filter(F.col("__rnd") <= rows)
-        .drop("__rnd")
-        .join(chain, [on, "__bkt"])
+        tails.join(chain, [on, "__bkt"])
         .filter(F.col("__next_bkt").isNotNull())
         .withColumn("__bkt", F.col("__next_bkt"))
         .drop("__next_bkt")
@@ -266,9 +283,16 @@ def rolling_bucketed(
     )
     aug = d.unionByName(tails)
 
-    upper = Window.currentRow if include_current else -1
-    lower = -(rows - 1) if include_current else -rows
-    w = Window.partitionBy(on, "__bkt").orderBy(ts, "__ctx").rowsBetween(lower, upper)
     fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count, "stddev": F.stddev}
+    if rows is not None:
+        upper = Window.currentRow if include_current else -1
+        lower = -(rows - 1) if include_current else -rows
+        w = Window.partitionBy(on, "__bkt").orderBy(ts, "__ctx").rowsBetween(lower, upper)
+    else:
+        w = (
+            Window.partitionBy(on, "__bkt")
+            .orderBy(F.unix_timestamp(F.col(ts)))
+            .rangeBetween(-range_seconds, 0 if include_current else -1)
+        )
     out = aug.withColumns({name: fns[fn](col).over(w) for name, (col, fn) in aggs.items()})
     return out.filter(F.col("__ctx") == 0).drop("__bkt", "__ctx")

@@ -83,6 +83,27 @@ def test_sessionize_bucketed_equals_plain(events):
     assert pv == bv
 
 
+def test_rolling_bucketed_range_mode_equals_plain(spark):
+    """Time-range mode is exact even WITH timestamp ties (value-based frames);
+    randomized skewed data with duplicate minutes."""
+    rng = np.random.default_rng(17)
+    n = 3000
+    ents = np.where(rng.random(n) < 0.5, 0, rng.integers(0, 10, n))
+    mins = rng.integers(0, 2 * 24 * 60, n)  # duplicates guaranteed
+    data = [
+        (int(e), BASE + timedelta(minutes=int(m)), i, float((i * 13) % 101))
+        for i, (e, m) in enumerate(zip(ents, mins))
+    ]
+    df = spark.createDataFrame(data, "entity long, event_time timestamp, eid long, v double")
+    plain = rolling(df, {"s": ("v", "sum"), "c": ("v", "count")},
+                    range_seconds=1800, include_current=False)
+    bucketed = rolling_bucketed(df, {"s": ("v", "sum"), "c": ("v", "count")},
+                                range_seconds=1800, include_current=False, bucket_seconds=3600)
+    pv = {r.eid: (r.s, r.c) for r in plain.collect()}
+    bv = {r.eid: (r.s, r.c) for r in bucketed.collect()}
+    assert pv == bv
+
+
 def test_rolling_bucketed_equals_plain(spark):
     """Distinct timestamps (tie-free) and dense buckets: bucketed rolling must
     match the plain trailing-N window exactly."""
