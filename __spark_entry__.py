@@ -515,8 +515,9 @@ def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_v": F.round(agg_fn("avg")(F.col("value")), 4),
                 "min_v": agg_fn("min")(F.col("value")),
                 "max_v": agg_fn("max")(F.col("value")),
-                "first_user_by_ts": agg_fn("min_by")(F.col("user_id"), F.col("ts")),
-                "last_user_by_ts": agg_fn("max_by")(F.col("user_id"), F.col("ts")),
+                # piper min_by(key, value): user at the earliest/latest ts
+                "first_user_by_ts": agg_fn("min_by")(F.col("ts"), F.col("user_id")),
+                "last_user_by_ts": agg_fn("max_by")(F.col("ts"), F.col("user_id")),
                 "all_pos": agg_fn("every")(F.col("value") > 0),
                 "any_hi": agg_fn("any")(F.col("value") > 99),
                 "user_set_head": F.sort_array(agg_fn("collect_set")(F.col("user_id") % 10)),
@@ -902,6 +903,18 @@ FROM p ORDER BY c6 DESC, a, b LIMIT 20
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells + n_probe search) — the scale
+    path for ANN; no SQL oracle (approximate), recall asserted in pytest."""
+    from feathr_online_spark.operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing: synthetic binary assets → mapInPandas feature
     extraction (deterministic fake decoder; no SQL oracle — binary/UDF)."""
@@ -954,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "embedding_pairs": q_embedding_pairs,
         "multimodal": q_multimodal,
     }

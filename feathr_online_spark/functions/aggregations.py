@@ -69,8 +69,11 @@ _AGG_REGISTRY: dict[str, object] = {
     "least": F.min,
     "max": F.max,
     "greatest": F.max,
-    "min_by": F.min_by,
-    "max_by": F.max_by,
+    # piper argument order is (key, value): min_by(a, b) = value of b at the
+    # minimum a (aggregation/min_max.rs:109-274).  Spark/DuckDB min_by(x, y)
+    # is the REVERSE (x at minimum y), so swap.
+    "min_by": lambda a, b: F.min_by(b, a),
+    "max_by": lambda a, b: F.max_by(b, a),
     "every": _every,
     "any": _any,
     "some": _any,

@@ -99,6 +99,62 @@ def test_join_golden_exact(spark):
     assert 3 in got and got[3][1] == []
 
 
+def test_aggregation_golden_vectors(spark):
+    """Aggregation accumulator vectors ported from the reference unit tests:
+    all_any.rs:99-128 (every/any end states), array_agg.rs:104-150
+    (array_agg keeps duplicates, collect_set dedups, array_agg_if filters),
+    count.rs (count/count_if/distinct_count), min_max.rs (min_by skips null
+    keys)."""
+    from feathr_online_spark.functions.aggregations import agg_fn
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        # (b_all, b_any, v, keep, mkey, mval)
+        [
+            (True, False, 1, True, 5, "a"),
+            (True, False, 2, False, None, "skipme"),   # null min_by key is skipped
+            (True, False, 3, True, 1, "b"),
+            (False, True, 2, False, 9, "c"),
+            (True, False, 2, True, 2, "d"),
+        ],
+        "b_all boolean, b_any boolean, v int, keep boolean, mkey int, mval string",
+    )
+    row = df.agg(
+        agg_fn("every")(F.col("b_all")).alias("every_"),
+        agg_fn("any")(F.col("b_any")).alias("any_"),
+        agg_fn("count")().alias("cnt"),
+        agg_fn("count_if")(F.col("keep")).alias("cnt_if"),
+        agg_fn("distinct_count")(F.col("v")).alias("dc"),
+        F.sort_array(agg_fn("array_agg")(F.col("v"))).alias("arr"),
+        F.sort_array(agg_fn("collect_set")(F.col("v"))).alias("st"),
+        F.sort_array(F.filter(agg_fn("array_agg_if")(F.col("v"), F.col("keep")),
+                              lambda x: x.isNotNull())).alias("arr_if"),
+        agg_fn("min_by")(F.col("mkey"), F.col("mval")).alias("minby"),
+    ).collect()[0]
+    assert row.every_ is False          # one false poisons all (all_any.rs test_all)
+    assert row.any_ is True             # one true sets any (test_any)
+    assert row.cnt == 5 and row.cnt_if == 3 and row.dc == 3
+    assert row.arr == [1, 2, 2, 2, 3]   # array_agg keeps duplicates
+    assert row.st == [1, 2, 3]          # set_agg dedups
+    assert row.arr_if == [1, 2, 3]      # only keep=true rows (array_agg_if)
+    assert row.minby == "b"             # min non-null key=1 → 'b'; null key skipped
+
+
+def test_math_promotion_and_concat_golden(spark):
+    """math_op.rs semantics via the DSL: int/int stays numeric, string +
+    anything concatenates (math_op.rs:82), div/% force long."""
+    p = parse_pipelines(
+        't(a as int, s as string)\n'
+        '| project add = a + 1, fdiv = a / 4, idiv = a div 4, m = a % 4, cat = s + "!" \n'
+        ';'
+    )["t"]
+    r = p.run(spark, [{"a": 10, "s": "hi"}]).collect()[0]
+    assert r.add == 11
+    assert r.fdiv == pytest.approx(2.5)
+    assert r.idiv == 2 and r.m == 2
+    assert r.cat == "hi!"
+
+
 # ---------------------------------------------------------------------------
 # numpy-allclose feature-vector parity (north rule)
 # ---------------------------------------------------------------------------

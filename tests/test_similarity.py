@@ -70,6 +70,33 @@ def test_lsh_recall(corpus, queries):
     assert all(r.rank >= 1 for r in approx.collect())
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF shines on clustered corpora: recall vs brute force must be high
+    when queries sit in well-separated clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((8, 16)) * 6
+    vecs = np.vstack([c + rng.standard_normal((50, 16)) * 0.4 for c in centers])
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(F.col("vec_id").isin(0, 55, 110)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    from feathr_online_spark.operators.similarity import knn_ivf
+
+    exact = knn_bruteforce(queries, corpus, k=10)
+    approx = knn_ivf(queries, corpus, k=10, n_cells=8, n_probe=2, iters=2)
+    e = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.q_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+    # self is rank 1 in the approximate result too
+    firsts = {r.q_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
+    assert firsts == {0: 0, 55: 55, 110: 110}
+
+
 def test_topk_pairs(corpus):
     out = embedding_topk_pairs(corpus, k=10)
     rows = out.collect()
