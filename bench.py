@@ -73,6 +73,10 @@ def main() -> None:
     spark = get_spark(app_name="feathr_online_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/codegen so the first measured query isn't charged the
+    # session startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     def run_full(df) -> None:
         # noop sink: materializes EVERY output column (count() would let
         # Catalyst prune the derived ones away) without writing anything

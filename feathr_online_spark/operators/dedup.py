@@ -240,6 +240,62 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Group near-dup pairs (a, b) into clusters: (id, cluster) where cluster
+    is the minimum id reachable through the pair graph — i.e. connected
+    components, so transitive duplicates (A~B, B~C) land in one group and a
+    single survivor (the cluster id) can be kept.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    approach when the component count is unknown): every node repeatedly
+    adopts the smallest label among itself and its neighbors until a pass
+    changes nothing.  Each iteration is one join + one aggregation — all
+    DataFrame ops; iteration count is O(graph diameter), which for near-dup
+    clusters (dense little cliques) is 1-2.  The driver only checks a
+    convergence COUNT per pass, never data.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    for _ in range(max_iters):
+        # smallest neighbor label per node (disambiguated column names — the
+        # label frame is derived from edges, so lineage would collide)
+        nbr = edges.join(labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")), "dst")
+        neighbor_min = nbr.groupBy(F.col("src").alias("node")).agg(F.min("dlbl").alias("nlbl"))
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "newlbl")
+            .join(labels, "node")
+            .filter(F.col("newlbl") != F.col("lbl"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("lbl").alias("cluster"))
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop all but one document per near-dup cluster (the min-id survivor) —
+    the end-to-end dedup: pair detection (any of the *_pairs operators) →
+    clustering → anti-join of non-survivors."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,33 @@ def test_minhash_matches_exact_jaccard(docs):
     assert mh == exact  # LSH recall ≈ 1 at this jaccard level; verify step is exact
 
 
+def test_dedup_clusters_transitive(spark):
+    """A~B, B~C, D~E → clusters {A,B,C} and {D,E}; chain of length 4 needs
+    multiple propagation rounds."""
+    from feathr_online_spark.operators.dedup import dedup_clusters, dedup_survivors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r.id: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4, 7, 10, 11]],
+                                 "doc_id long, text string")
+    kept = dedup_survivors(docs, pairs, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 7, 10]
+
+
+def test_end_to_end_dedup_pipeline(docs):
+    """pairs → clusters → survivors over the planted-dup fixture: docs 2,3,4
+    all collapse into doc 1 (2,3 exact/normalized; 4 near-dup)."""
+    from feathr_online_spark.operators.dedup import dedup_survivors
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select("a", "b")
+    kept = dedup_survivors(docs, pairs, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 5]
+
+
 def test_simhash_pairs(docs):
     got = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
     # exact/normalized dups → identical simhash (hamming 0)

@@ -109,6 +109,40 @@ def test_reference_conf_parses_completely():
     assert "movie_metadata" in pipes and "nyc_taxi_demo" in pipes
 
 
+def test_movie_recommend_ids_chain(spark):
+    """movie_recommend_ids (conf/pipeline.conf:83-87): a lookup source that
+    returns an ARRAY field, exploded, then chained into a second lookup."""
+    src = open("/root/reference/conf/pipeline.conf").read()
+    p = parse_pipelines(src)["movie_recommend_ids"]
+    recommender = spark.createDataFrame(
+        [(7, ["100", "200", "300"])], "id long, ids array<string>"
+    )
+    links = spark.createDataFrame(
+        [(100, 1100, 2100), (200, 1200, 2200)], "movieId long, imdbId long, tmdbId long"
+    )
+    out = p.run(spark, [{"id": 7}], {"recommender": (recommender, "id"),
+                                     "links": (links, "movieId")})
+    got = sorted((r.movie_id, r.tmdb_id) for r in out.collect())
+    # 300 has no link row → lookup null-fills (left-outer semantics)
+    assert got == [(100, 2100), (200, 2200), (300, None)]
+
+
+def test_geoip_explode_chain(spark):
+    """geoip_demo_explode (conf/pipeline.conf:5-8): explode an input array,
+    then lookup on the exploded value."""
+    src = open("/root/reference/conf/pipeline.conf").read()
+    p = parse_pipelines(src)["geoip_demo_explode"]
+    geo = spark.createDataFrame(
+        [("1.1.1.1", "AU", "Sydney"), ("8.8.8.8", "US", "MountainView")],
+        "ip string, country string, city string",
+    )
+    out = p.run(spark, [{"ip": ["1.1.1.1", "8.8.8.8", "9.9.9.9"]}],
+                {"ipgeolocation": (geo, "ip")})
+    got = sorted((r.ip, r.country, r.city) for r in out.collect())
+    assert got == [("1.1.1.1", "AU", "Sydney"), ("8.8.8.8", "US", "MountainView"),
+                   ("9.9.9.9", None, None)]
+
+
 def test_movie_metadata_shape(spark):
     """movie_metadata exercises chained lookups, json array extraction,
     string concat, project-remove (conf/pipeline.conf:62-70)."""
