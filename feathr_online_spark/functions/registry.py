@@ -189,3 +189,34 @@ def fn(name: str):
 
 def names() -> list[str]:
     return sorted(_REGISTRY)
+
+
+def register_udf(name: str, pandas_fn, return_type: str) -> None:
+    """User-defined functions — the reference's Python UDF surface
+    (python/src/lib.rs:399-461: plain callables registered by name and
+    resolved at pipeline build).  Here the callable must be VECTORIZED
+    (pandas Series in → Series out) and is wrapped as a pandas_udf, so it
+    crosses to the JVM via Arrow batches — per-row Python (the reference's
+    per-call GIL round-trip, lib.rs:266-287) is exactly what the north rule
+    forbids, so it is not offered.
+
+    Once registered the name resolves via ``fn()`` and therefore from DSL
+    pipelines too::
+
+        register_udf("inc", lambda s: s + 1, "long")
+        parse_pipelines("t(x as int)\\n| project y = inc(x)\\n;")
+
+    The callable must be ELEMENT-WISE: it receives one Arrow batch at a time,
+    so anything depending on cross-row state (``s.mean()`` etc.) silently
+    computes per-batch values — use an aggregation or window for that.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    key = name.lower()
+    if key in _REGISTRY:
+        raise ValueError(f"function '{name}' already registered")
+    _REGISTRY[key] = pandas_udf(pandas_fn, return_type)
+
+
+def unregister_udf(name: str) -> None:
+    _REGISTRY.pop(name.lower(), None)

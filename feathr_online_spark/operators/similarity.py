@@ -156,23 +156,27 @@ def train_ivf_centroids(
     via least-of-structs — no shuffle); the update collects only
     n_cells × dim means to the driver, exactly like LSH planes — centroids
     are plan metadata, not data."""
-    first = corpus.orderBy(c_id).limit(n_cells).select(c_vec).collect()
-    cents = [list(map(float, r[0])) for r in first]
-    for _ in range(iters):
-        assigned = corpus.withColumn("__cell", assign_cell(F.col(c_vec), cents))
-        means = (
-            assigned.select("__cell", F.posexplode(F.col(c_vec).cast("array<double>")).alias("__p", "__v"))
-            .groupBy("__cell", "__p").agg(F.avg("__v").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["__cell"], {})[r["__p"]] = r["m"]
-        dim = len(cents[0])
-        cents = [
-            [by_cell.get(c, {}).get(p, cents[c][p]) for p in range(dim)]
-            for c in range(len(cents))
-        ]
+    slim = corpus.select(c_id, c_vec).persist()  # training touches it iters+1 times
+    try:
+        first = slim.orderBy(c_id).limit(n_cells).select(c_vec).collect()
+        cents = [list(map(float, r[0])) for r in first]
+        for _ in range(iters):
+            assigned = slim.withColumn("__cell", assign_cell(F.col(c_vec), cents))
+            means = (
+                assigned.select("__cell", F.posexplode(F.col(c_vec).cast("array<double>")).alias("__p", "__v"))
+                .groupBy("__cell", "__p").agg(F.avg("__v").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["__cell"], {})[r["__p"]] = r["m"]
+            dim = len(cents[0])
+            cents = [
+                [by_cell.get(c, {}).get(p, cents[c][p]) for p in range(dim)]
+                for c in range(len(cents))
+            ]
+    finally:
+        slim.unpersist()
     return cents
 
 

@@ -226,6 +226,167 @@ def sessionize_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# Fused bucketed PIT: as-of + forward-fill + time-range rolling in ONE
+# within-bucket pass + ONE summary/carry pass
+# ---------------------------------------------------------------------------
+
+def pit_fused_bucketed(
+    events: DataFrame,
+    features: DataFrame,
+    on: str = "entity",
+    left_ts: str = "event_time",
+    right_ts: str = "feature_time",
+    strict: bool = True,
+    ffill_cols: list[str] | None = None,
+    rolling_spec: dict | None = None,   # {"name", "col", "fn", "range_seconds", "include_current": False}
+    session_gap: int | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """The skew-proof composite, fused: strict-`<` as-of join, forward-fill of
+    event columns and a time-range trailing aggregate all computed over ONE
+    (entity, bucket) shuffle+sort of the tagged event∪feature∪context stream,
+    repaired by ONE tiny summary/carry join.  Gap sessionization (lag-based,
+    so it can't share value-based frames) runs as its own bucketed pass on
+    the result.
+
+    Why fusion matters: the single-operator bucketed variants each pay their
+    own shuffle + summary join; composed naively that is 4× the stage walls
+    of the plain path.  Fused, the bucketed plan costs ~2 big-data passes —
+    close enough to the plain path's one that the skew-proofing is nearly
+    free, and strictly necessary once a hot key exceeds task capacity.
+
+    Mechanics that make interleaved row kinds safe in one window pass:
+    - as-of: running ``last(payload, ignorenulls)`` — event and context rows
+      carry null payload, so they simply don't contribute;
+    - forward-fill: ``last(when(real event, col), ignorenulls)``;
+    - rolling: value-based RANGE frame over unix seconds with a conditional
+      aggregate ``fn(when(real-or-context event, col))`` — feature rows in
+      frame contribute null, context rows are the true predecessors
+      replicated from the previous present bucket, and their originals live
+      in another partition so nothing double-counts.
+    """
+    ffill_cols = ffill_cols or []
+    payload = [c for c in features.columns if c not in (on, right_ts)]
+    event_cols = [c for c in events.columns if c not in (on, left_ts)]
+    overlap = set(payload) & set(events.columns)
+    if overlap:
+        raise ValueError(f"pit_fused_bucketed: column collision {sorted(overlap)}")
+    feat_tag, event_tag = (1, 0) if strict else (0, 1)
+    tiebreak = F.xxhash64(*[F.col(c) for c in payload])
+
+    ev = events.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(event_tag).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
+        *[F.col(c) for c in event_cols],
+        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+    )
+    ft = features.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(feat_tag).alias("__tag"),
+        tiebreak.cast("long").alias("__tb"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
+        *[F.col(c) for c in payload],
+    )
+    un = ev.unionByName(ft).withColumn("__bkt", _bkt("__ts", bucket_seconds)).withColumn(
+        "__ctx", F.lit(0)
+    )
+
+    # context rows for the rolling frame: real events near their bucket's end,
+    # replicated into the entity's next PRESENT bucket
+    if rolling_spec:
+        rng = int(rolling_spec["range_seconds"])
+        if rng > bucket_seconds:
+            raise ValueError("rolling range_seconds must be ≤ bucket_seconds")
+        chain = (
+            un.select(on, "__bkt").distinct()
+            .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
+        )
+        bucket_end = (F.col("__bkt") + 1) * bucket_seconds
+        ctx = (
+            un.filter((F.col("__tag") == event_tag)
+                      & (F.unix_timestamp(F.col("__ts")) >= bucket_end - rng))
+            .join(chain, [on, "__bkt"])
+            .filter(F.col("__next_bkt").isNotNull())
+            .withColumn("__bkt", F.col("__next_bkt"))
+            .drop("__next_bkt")
+            .withColumn("__ctx", F.lit(1))
+        )
+        aug = un.unionByName(ctx)
+    else:
+        aug = un
+
+    # ---- single within-bucket pass: all running windows share one sort ----
+    w_last = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy("__ts", "__tag", "__tb", "__ctx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols = [
+        F.col(on), F.col("__ts"), F.col("__tag"), F.col("__bkt"), F.col("__ctx"),
+        *[F.col(c) for c in event_cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w_last).alias(f"__in_{c}") for c in payload],
+        *[
+            F.last(F.when((F.col("__tag") == event_tag) & (F.col("__ctx") == 0), F.col(c)),
+                   ignorenulls=True).over(w_last).alias(f"__in_f_{c}")
+            for c in ffill_cols
+        ],
+    ]
+    if rolling_spec:
+        fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+               "count": F.count, "stddev": F.stddev}
+        inc = rolling_spec.get("include_current", False)
+        w_roll = (
+            Window.partitionBy(on, "__bkt")
+            .orderBy(F.unix_timestamp(F.col("__ts")))
+            .rangeBetween(-int(rolling_spec["range_seconds"]), 0 if inc else -1)
+        )
+        cols.append(
+            fns[rolling_spec["fn"]](
+                F.when(F.col("__tag") == event_tag, F.col(rolling_spec["col"]))
+            ).over(w_roll).alias(rolling_spec["name"])
+        )
+    within = aug.select(*cols)
+
+    # ---- tiny summary/carry pass (features + ffill sources per bucket) ----
+    fb = ft.withColumn("__bkt", _bkt("__ts", bucket_seconds))
+    fsum = fb.groupBy(on, "__bkt").agg(
+        *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.struct("__ts", "__tb"))).alias(c)
+          for c in payload]
+    )
+    eb = ev.withColumn("__bkt", _bkt("__ts", bucket_seconds))
+    esum = eb.groupBy(on, "__bkt").agg(
+        *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__ts"))).alias(f"__e_{c}")
+          for c in ffill_cols]
+    )
+    domain = un.select(on, "__bkt").distinct()
+    w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        domain.join(fsum, [on, "__bkt"], "left").join(esum, [on, "__bkt"], "left")
+        .select(
+            F.col(on), "__bkt",
+            *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in payload],
+            *[F.last(F.col(f"__e_{c}"), ignorenulls=True).over(w_b).alias(f"__carry_f_{c}")
+              for c in ffill_cols],
+        )
+    )
+
+    out = (
+        within.filter((F.col("__tag") == event_tag) & (F.col("__ctx") == 0))
+        .join(carry, [on, "__bkt"])
+        .select(
+            F.col(on), F.col("__ts").alias(left_ts),
+            *[c for c in event_cols if c not in ffill_cols],
+            *[F.coalesce(F.col(f"__in_f_{c}"), F.col(f"__carry_f_{c}")).alias(c) for c in ffill_cols],
+            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")).alias(c) for c in payload],
+            *([rolling_spec["name"]] if rolling_spec else []),
+        )
+    )
+    if session_gap:
+        out = sessionize_bucketed(out, session_gap, on=on, ts=left_ts,
+                                  bucket_seconds=bucket_seconds)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Rolling (rows mode), bucketed
 # ---------------------------------------------------------------------------
 

@@ -20,6 +20,34 @@ def one(spark, expr):
     return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
 
 
+def test_register_udf_vectorized_and_dsl_visible(spark):
+    """§2.7 parity: Python UDFs registered by name (reference
+    python/src/lib.rs:399-461), vectorized via pandas_udf, callable from the
+    DSL like any built-in."""
+    from feathr_online_spark.dsl import parse_pipelines
+    from feathr_online_spark.functions.registry import register_udf, unregister_udf
+
+    calls = []
+
+    def double_plus(s):  # pandas Series -> Series (vectorized, not per-row)
+        calls.append(len(s))
+        return s * 2 + 1
+
+    register_udf("double_plus", double_plus, "long")
+    try:
+        p = parse_pipelines("t(x as int)\n| project y = double_plus(x)\n;")["t"]
+        out = p.run(spark, [{"x": i} for i in range(100)])
+        got = {r.x: r.y for r in out.collect()}
+        assert got[0] == 1 and got[7] == 15 and got[99] == 199
+        # duplicate registration rejected
+        with pytest.raises(ValueError):
+            register_udf("double_plus", double_plus, "long")
+    finally:
+        unregister_udf("double_plus")
+    with pytest.raises(KeyError):
+        fn("double_plus")
+
+
 def test_representative_semantics(spark):
     # quirk entries route to piper semantics
     assert one(spark, fn("substring")(F.lit("hello"), 0, 2)) == "he"

@@ -83,6 +83,34 @@ def test_sessionize_bucketed_equals_plain(events):
     assert pv == bv
 
 
+def test_pit_fused_bucketed_equals_plain_composition(spark, events, features):
+    """The fused skew-proof composite must EXACTLY reproduce the composition
+    of the plain operators (asof → range-rolling → ffill → sessionize) on
+    randomized skewed data with ties and nulls."""
+    from feathr_online_spark.operators.skew import pit_fused_bucketed
+
+    fused = pit_fused_bucketed(
+        events, features,
+        ffill_cols=["value"],
+        rolling_spec={"name": "hist", "col": "value", "fn": "count",
+                      "range_seconds": 1800, "include_current": False},
+        session_gap=1800,
+        bucket_seconds=BUCKET * 4,
+    )
+
+    plain = asof_join(events, features)
+    plain = rolling(plain, {"hist": ("value", "count")},
+                    range_seconds=1800, include_current=False)
+    plain = forward_fill(plain, ["value"])
+    plain = sessionize(plain, 1800)
+
+    fcols = sorted(fused.columns)
+    assert sorted(plain.columns) == fcols
+    pv = {r.eid: tuple(r[c] for c in fcols if c != "eid") for r in plain.collect()}
+    bv = {r.eid: tuple(r[c] for c in fcols if c != "eid") for r in fused.collect()}
+    assert pv == bv
+
+
 def test_rolling_bucketed_range_mode_equals_plain(spark):
     """Time-range mode is exact even WITH timestamp ties (value-based frames);
     randomized skewed data with duplicate minutes."""
