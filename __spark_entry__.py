@@ -681,6 +681,72 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the fused skew-proof composite under the correctness gate: strict as-of
+    + forward-fill + 1h range rolling + sessionization in the bucketed
+    one-pass plan, vs a four-CTE SQL oracle."""
+    from feathr_online_spark.operators.skew import pit_fused_bucketed
+
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("event_time"),
+        "event_id",
+        F.when(F.col("value") > 20, F.round("value", 4)).alias("v"),
+    )
+    feat = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
+        .agg(F.round(F.sum("value"), 4).alias("pv"))
+    )
+    out = pit_fused_bucketed(
+        left, feat, strict=True,
+        ffill_cols=["v"],
+        rolling_spec={"name": "hist", "col": "event_id", "fn": "count",
+                      "range_seconds": 3600, "include_current": False},
+        session_gap=1800,
+        bucket_seconds=86400,
+    )
+    return out.select(
+        "event_id", F.col("entity").alias("user_id"),
+        F.unix_micros("event_time").alias("ts_us"),
+        F.col("v").alias("v_filled"), "pv",
+        F.col("hist").cast("long").alias("hist"), "session_id",
+    )
+
+
+ORACLE_PIT_FUSED = """
+WITH lev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > 20 THEN round(value, 4) END AS v
+  FROM events WHERE event_type IN ('click', 'view')
+), feat AS (
+  SELECT user_id, ts, round(sum(value), 4) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), pit AS (
+  SELECT lev.*, f.pv
+  FROM lev LEFT JOIN LATERAL (
+    SELECT pv FROM feat WHERE feat.user_id = lev.user_id AND feat.ts < lev.ts
+    ORDER BY feat.ts DESC LIMIT 1
+  ) f ON TRUE
+), roll AS (
+  SELECT *,
+         count(event_id) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS hist,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM pit
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, v_filled, pv, hist,
+       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+FROM roll
+"""
+
+
 def q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient validation (piper convert_to semantics): coerce a mixed-type
     projection to a target schema; failed cells null out with _err_ markers;
@@ -959,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation": q_validation,
         "asof_bucketed": q_asof_bucketed,
         "sessionize_bucketed": q_sessionize_bucketed,
+        "pit_fused": q_pit_fused,
         "sketches": q_sketches,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -997,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "validation": ORACLE_VALIDATION,
         "asof_bucketed": ORACLE_ASOF_PURCHASE,
         "sessionize_bucketed": ORACLE_SESSIONIZE,
+        "pit_fused": ORACLE_PIT_FUSED,
         # sketches: intentionally no oracle (sketch estimates are
         # engine-specific; pytest asserts accuracy vs exact counts)
         "dedup_exact": ORACLE_DEDUP_EXACT,
