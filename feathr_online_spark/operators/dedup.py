@@ -129,10 +129,15 @@ def ngram_jaccard_pairs(
     inv = sh.select("id", F.explode("shingles").alias("s")).repartition("s")
     rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
     inv = inv.join(rare.select("s"), "s", "left_semi")
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     inter = (
         inv.alias("x")
         .join(inv.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        # explicit exchange: the (a, b) pair space is large but byte-small —
+        # AQE would coalesce the groupBy reduce stage to ~1 task otherwise
+        .repartition(width, "a", "b")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     sizes = sh.select("id", "sz")
