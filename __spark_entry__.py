@@ -281,13 +281,13 @@ ORACLE_SESSIONIZE = """
 WITH d AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
 ), s AS (
   SELECT user_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
   FROM d
 )
 SELECT user_id, max(session_id) AS max_session, count(*) AS n_events
@@ -317,8 +317,8 @@ SELECT event_id, user_id,
        round(coalesce(sum(value) OVER w, 0.0), 4) AS hist_sum,
        count(value) OVER w AS hist_n
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
 """
 
 
@@ -379,8 +379,10 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("ts").alias("q"),
         F.unix_timestamp("ts").alias("epoch_s"),
         F.unix_micros("ts").alias("epoch_us"),
-        F.date_add(F.to_date("ts"), 7).alias("plus7"),
-        F.add_months(F.to_date("ts"), 2).alias("plus2mo"),
+        # dates as ISO strings: Spark's toPandas yields datetime.date where
+        # DuckDB yields Timestamp — value-equal but hash-different
+        F.date_add(F.to_date("ts"), 7).cast("string").alias("plus7"),
+        F.add_months(F.to_date("ts"), 2).cast("string").alias("plus2mo"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("fmt"),
     )
 
@@ -393,8 +395,8 @@ SELECT event_id,
        dayofyear(ts) AS doy, quarter(ts) AS q,
        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
        epoch_us(ts) AS epoch_us,
-       (ts::DATE + INTERVAL 7 DAY)::DATE AS plus7,
-       (ts::DATE + INTERVAL 2 MONTH)::DATE AS plus2mo,
+       strftime((ts::DATE + INTERVAL 7 DAY)::DATE, '%Y-%m-%d') AS plus7,
+       strftime((ts::DATE + INTERVAL 2 MONTH)::DATE, '%Y-%m-%d') AS plus2mo,
        strftime(ts, '%Y-%m-%d %H') AS fmt
 FROM events
 """
@@ -412,12 +414,14 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(w, "data").alias("has_data"),
         pf.element_at0(w, 0).alias("w0"),                 # piper 0-based
         pf.element_at0(w, 10000).alias("w_oor"),          # null out-of-range
-        pf.slice0(w, 1, 3).alias("w12"),                  # piper [start, end)
+        # array outputs are stringified: the driver's pandas canonicalizer
+        # cannot sort/hash ndarray cells (round-1 gate crash)
+        F.array_join(pf.slice0(w, 1, 3), "-").alias("w12"),   # piper [start, end)
         F.array_position(w, "data").alias("pos_data"),    # 1-based like Spark
         F.array_max(w).alias("w_max"),
         F.array_min(w).alias("w_min"),
         F.array_join(F.slice(w, 1, 3), "-").alias("first3"),
-        F.sort_array(F.array_distinct(F.slice(w, 1, 5))).alias("first5_sorted"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(w, 1, 5))), "-").alias("first5_sorted"),
     )
 
 
@@ -428,13 +432,13 @@ SELECT doc_id,
        len(list_distinct(w)) AS n_distinct,
        list_contains(w, 'data') AS has_data,
        w[1] AS w0,
-       NULL AS w_oor,
-       w[2:3] AS w12,
+       CAST(NULL AS VARCHAR) AS w_oor,
+       array_to_string(w[2:3], '-') AS w12,
        CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS pos_data,
        list_max(w) AS w_max,
        list_min(w) AS w_min,
        array_to_string(w[1:3], '-') AS first3,
-       list_sort(list_distinct(w[1:5])) AS first5_sorted
+       array_to_string(list_sort(list_distinct(w[1:5])), '-') AS first5_sorted
 FROM t
 """
 
@@ -446,7 +450,7 @@ def q_json_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("long").alias("k_num"),
         F.get_json_object("props", "$.missing").alias("k_missing"),
-        F.json_object_keys("props").alias("keys"),
+        F.array_join(F.json_object_keys("props"), ",").alias("keys"),
         F.regexp_extract("event_type", "^(.)", 1).alias("first_ch"),
         F.regexp_replace("event_type", "[aeiou]", "_").alias("de_vowel"),
         F.regexp_like("event_type", F.lit("^(click|view)$")).alias("is_cv"),
@@ -459,7 +463,7 @@ SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
        json_extract_string(props, '$.missing') AS k_missing,
-       json_keys(props) AS keys,
+       array_to_string(json_keys(props), ',') AS keys,
        regexp_extract(event_type, '^(.)', 1) AS first_ch,
        regexp_replace(event_type, '[aeiou]', '_', 'g') AS de_vowel,
        regexp_matches(event_type, '^(click|view)$') AS is_cv,
@@ -481,7 +485,7 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("value"), F.lit(25.0)).alias("at_least_25"),
         F.least(F.col("value"), F.lit(25.0)).alias("at_most_25"),
         F.isnull(F.col("value")).alias("v_null"),
-        F.round(F.pmod(F.col("event_id"), F.lit(7)), 0).alias("id_mod7"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("long").alias("id_mod7"),
     )
 
 
@@ -494,7 +498,7 @@ SELECT event_id,
        greatest(value, 25.0) AS at_least_25,
        least(value, 25.0) AS at_most_25,
        value IS NULL AS v_null,
-       CAST(event_id % 7 AS DOUBLE) AS id_mod7
+       CAST(event_id % 7 AS BIGINT) AS id_mod7
 FROM events
 """
 
@@ -520,7 +524,13 @@ def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "last_user_by_ts": agg_fn("max_by")(F.col("ts"), F.col("user_id")),
                 "all_pos": agg_fn("every")(F.col("value") > 0),
                 "any_hi": agg_fn("any")(F.col("value") > 99),
-                "user_set_head": F.sort_array(agg_fn("collect_set")(F.col("user_id") % 10)),
+                "user_set_head": F.array_join(
+                    F.transform(
+                        F.sort_array(agg_fn("collect_set")(F.col("user_id") % 10)),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
             },
             by=["event_type"],
         )
@@ -540,7 +550,7 @@ SELECT count(*) AS n,
        max_by(user_id, ts) AS last_user_by_ts,
        bool_and(coalesce(value > 0, false)) AS all_pos,
        bool_or(coalesce(value > 99, false)) AS any_hi,
-       list_sort(list_distinct(list(user_id % 10))) AS user_set_head,
+       array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') AS user_set_head,
        event_type
 FROM events GROUP BY event_type
 """
@@ -677,7 +687,14 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
         F.approx_count_distinct("user_id").alias("approx_users_hllpp"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        # stringified: the driver's pandas canon can't hash ndarray cells
+        F.array_join(
+            F.transform(
+                F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000),
+                lambda x: F.round(x, 4).cast("string"),
+            ),
+            ",",
+        ).alias("value_quantiles"),
     )
 
 
@@ -731,18 +748,18 @@ WITH lev AS (
   ) f ON TRUE
 ), roll AS (
   SELECT *,
-         count(event_id) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
-             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS hist,
+         count(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS hist,
          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM pit
 )
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, v_filled, pv, hist,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
 FROM roll
 """
 
@@ -969,16 +986,132 @@ FROM p ORDER BY c6 DESC, a, b LIMIT 20
 """
 
 
+def _queries_of(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int, min_hits: int) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the exact set,
+    reduced to a booleans-only frame the DuckDB oracle can predict: the
+    approximate path must genuinely achieve ≥ min_hits/k recall for the row
+    to come out true."""
+    hits = approx.join(
+        exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        hits.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+        .select("q_id", (F.col("__n_hits") >= min_hits).alias("recall_ok"))
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (k-means cells + n_probe search) — the scale
-    path for ANN; no SQL oracle (approximate), recall asserted in pytest."""
+    path for ANN.  Gate shape: per-query recall@10 vs the exact top-10,
+    asserted ≥ 0.8 in-query; the oracle states every query passes, so the
+    approximate path must actually deliver the recall for the row to match."""
     from feathr_online_spark.operators.similarity import knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    queries = _queries_of(emb)
+    approx = knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
+    exact = knn_bruteforce(queries, emb, k=10)
+    return _recall_vs_exact(approx, exact, k=10, min_hits=8)
+
+
+ORACLE_ANN_RECALL = """
+SELECT DISTINCT vec_id AS q_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k with multiprobe.  Gate shape:
+    recall@1 — the synthetic embeddings are angularly random (rank-2+ cosines
+    ≈ 0.35), where hyperplane LSH provably cannot reach high recall@10
+    without probing most buckets; the structure it IS built to find (the
+    high-cosine near-dup, here the exact-dup at cos 1.0) must always land in
+    the probe set, so per-query the exact top-1 neighbor is required in the
+    LSH top-10."""
+    from feathr_online_spark.operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _queries_of(emb)
+    approx = knn_lsh(queries, emb, k=10, n_planes=8, multiprobe=1)
+    exact_top1 = knn_bruteforce(queries, emb, k=1)
+    return _recall_vs_exact(approx, exact_top1, k=1, min_hits=1)
+
+
+def q_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take verb (take_transformation.rs:8-50) made order-deterministic by a
+    preceding sort: TakeOrderedAndProject in the physical plan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        Pipeline(ev.orderBy("event_id"))
+        .take(100)
+        .project_keep("event_id", "user_id", "event_type")
+        .df
     )
-    return knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
+
+
+ORACLE_TAKE = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 100
+"""
+
+
+def q_project_rename_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """project-rename + project-remove verbs
+    (project_rename_transformation.rs, project_remove_transformation.rs)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        Pipeline(ev)
+        .project(val4=F.round("value", 4))
+        .project_remove("props", "value", "ts")
+        .project_rename(etype="event_type", amount="val4")
+        .project_keep("event_id", "user_id", "etype", "amount")
+        .df
+    )
+
+
+ORACLE_PROJECT_RENAME_REMOVE = """
+SELECT event_id, user_id, event_type AS etype, round(value, 4) AS amount FROM events
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected components over near-dup pairs (min-label propagation) →
+    (id, cluster); the oracle computes the same transitive closure with a
+    recursive CTE."""
+    from feathr_online_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS sg
+  FROM w WHERE len(ws) >= 3
+), pr AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+              / len(list_distinct(list_concat(a.sg, b.sg))), 4) >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr
+), walk AS (
+  SELECT src AS id, dst AS reach FROM edges
+  UNION
+  SELECT walk.id, edges.dst FROM walk JOIN edges ON walk.reach = edges.src
+)
+SELECT id, least(id, min(reach)) AS cluster FROM walk GROUP BY id
+"""
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,8 +1168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "embedding_pairs": q_embedding_pairs,
         "multimodal": q_multimodal,
+        "take": q_take,
+        "project_rename_remove": q_project_rename_remove,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1073,7 +1210,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "text_quality": ORACLE_TEXT_QUALITY,
         "ann_topk": ORACLE_ANN_TOPK,
+        "ann_ivf": ORACLE_ANN_RECALL,
+        "ann_lsh": ORACLE_ANN_RECALL,
         "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
+        "take": ORACLE_TAKE,
+        "project_rename_remove": ORACLE_PROJECT_RENAME_REMOVE,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         # dedup_simhash, multimodal: intentionally no oracle (engine-specific
         # hashing / binary+UDF) → driver rows-only check
     }

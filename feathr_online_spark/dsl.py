@@ -363,6 +363,12 @@ class ExprCompiler:
             if op == "*":
                 return a * b, _promote(ta, tb)
             if op == "/":
+                # DivideOperator (math_op.rs:197 via binary_math_op) is typed:
+                # Int/Int → Int, Int|Long/Long → Long, both Rust-truncated;
+                # any float operand promotes to true double division.
+                if ta in ("int", "long") and tb in ("int", "long"):
+                    out_t = "long" if "long" in (ta, tb) else "int"
+                    return (a / b).cast(out_t), out_t
                 return a / b, "double"
             if op == "div":
                 return P.div(a, b), "long"
@@ -510,8 +516,15 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
         aggs_ast, keys_ast = payload
         aggs = {}
         for name, fn_name, arg_asts in aggs_ast:
-            args = [ec.compile(a)[0] for a in arg_asts]
-            aggs[name] = agg_fn(fn_name)(*args)
+            compiled = [ec.compile(a) for a in arg_asts]
+            args = [c for c, _ in compiled]
+            expr = agg_fn(fn_name)(*args)
+            # reference avg = sum/count through DivideOperator: an integer
+            # column yields Long/Long → Rust-truncated long (sum.rs:51-92 +
+            # math_op.rs:197); replicate where the static type is known.
+            if fn_name.lower() in ("avg", "mean") and compiled and compiled[0][1] in ("int", "long"):
+                expr = expr.cast("long")
+            aggs[name] = expr
             col_types[name] = None
         if keys_ast:
             by = {}

@@ -32,7 +32,11 @@ def _distinct_count(*cols) -> Column:
 
 
 def _avg(x) -> Column:
-    # piper denominator counts nulls (sum.rs:67-79)
+    # piper denominator counts nulls (sum.rs:67-79).  NB: the reference also
+    # TRUNCATES integer-column avg (Long sum / Long count via DivideOperator,
+    # math_op.rs:197); a Column builder can't see input types, so the typed
+    # DSL path (dsl.py summarize) appends .cast("long") — direct callers with
+    # integer columns wanting exact reference parity should do the same.
     return F.sum(x) / F.count(F.lit(1))
 
 

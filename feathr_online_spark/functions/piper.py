@@ -28,15 +28,19 @@ def substring0(s: ColumnOrName, start, length) -> Column:
 
     Reference: piper/src/pipeline/function/string_functions.rs:91-124 —
     ``substring(s, start, len)`` is 0-based; a negative start counts from the
-    end of the string.  Spark's ``substring`` is 1-based with different
-    negative handling, so normalize the start first.
+    end of the string, and a negative length means "slice up to
+    len(s) + length" (i.e. length' = len(s) + length - start').  Spark's
+    ``substring`` is 1-based with different negative handling, so normalize
+    both first.
     """
     s = _col(s)
     start = F.lit(start) if not isinstance(start, Column) else start
     length = F.lit(length) if not isinstance(length, Column) else length
     # negative start wraps: start' = max(len + start, 0); non-negative is used as-is
     norm = F.when(start < 0, F.greatest(F.length(s) + start, F.lit(0))).otherwise(start)
-    return F.substring(s, norm + 1, length)
+    # negative length slices to len+length (string_functions.rs:114-118)
+    norm_len = F.when(length < 0, F.greatest(F.length(s) + length - norm, F.lit(0))).otherwise(length)
+    return F.substring(s, norm + 1, norm_len)
 
 
 def split_literal(s: ColumnOrName, delim: str) -> Column:

@@ -44,9 +44,9 @@ def _sec(x):
 
 
 def _last_day_piper(x):
-    """Reference bug-compat: last_day = date + 1 day (function/mod.rs:224),
-    NOT Spark's end-of-month."""
-    return F.date_add(x, 1)
+    """Reference bug-compat: last_day = date - 1 day (function/mod.rs:224,
+    ``v - Duration::days(1)``), NOT Spark's end-of-month."""
+    return F.date_sub(x, 1)
 
 
 def _next_day_piper(x):
@@ -70,6 +70,24 @@ def _get_json_array(col, path: str):
 
 def _iff(cond, a, b):
     return F.when(cond, a).otherwise(b)
+
+
+def _case_fn(*args):
+    """Function-call ``case(cond1, val1, cond2, val2, ..., [default])`` —
+    first true condition wins, trailing odd argument is the default
+    (reference function/case.rs:40-55)."""
+    if not args:
+        raise ValueError("case: at least one argument required")
+    expr = None
+    i = 0
+    while i + 1 < len(args):
+        cond, val = args[i], _c(args[i + 1])
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        i += 2
+    default = _c(args[i]) if i < len(args) else None
+    if expr is None:
+        return default
+    return expr.otherwise(default) if default is not None else expr
 
 
 def _timestamp(x, fmt=None):
@@ -100,6 +118,7 @@ _REGISTRY: dict[str, object] = {
     "sign": F.signum, "signum": F.signum, "sin": F.sin, "sinh": F.sinh,
     "sqrt": F.sqrt, "tan": F.tan, "tanh": F.tanh,
     "rand": F.rand, "random": F.rand,
+    "shuffle": F.shuffle,                # rand_functions::shuffle (mod.rs:335)
     # --- bitwise ---
     "bit_and": F.bit_and, "bit_or": F.bit_or, "bit_xor": F.bit_xor,
     "bit_count": F.bit_count, "bit_get": F.bit_get, "getbit": F.getbit,
@@ -164,7 +183,8 @@ _REGISTRY: dict[str, object] = {
     "regexp_extract": F.regexp_extract, "regexp_extract_all": F.regexp_extract_all,
     "regexp_replace": F.regexp_replace,
     # --- conditional/null (mod.rs:198-291) ---
-    "if": _iff, "iff": _iff, "ifnull": F.ifnull, "isnan": F.isnan,
+    "if": _iff, "iff": _iff, "case": _case_fn,   # function/case.rs via mod.rs:431
+    "ifnull": F.ifnull, "isnan": F.isnan,
     "isnotnull": F.isnotnull, "isnull": F.isnull, "nanvl": F.nanvl,
     "nullif": F.nullif, "nvl": F.nvl, "nvl2": F.nvl2, "coalesce": F.coalesce,
     "positive": F.positive,

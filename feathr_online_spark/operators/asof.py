@@ -12,10 +12,11 @@ Two physical strategies behind one API:
     Union-tag + running ``last(ignorenulls)`` window.  Both sides are tagged and
     unioned; within each entity, rows sort by ``(ts, tag)`` where events sort
     BEFORE features at equal timestamps (tag 0 vs 1), so a running
-    ``last(feature_col, ignorenulls=True)`` over
+    ``last(payload_struct, ignorenulls=True)`` over
     ``rowsBetween(unboundedPreceding, currentRow)`` sees only features with
     ts strictly below the event's — strict ``<`` falls out of the sort order
-    with no per-row logic.  Cost: ONE shuffle of events+features on the entity
+    with no per-row logic.  The payload travels as ONE struct so the whole
+    winning feature row attaches (nulls preserved), matching merge_asof.  Cost: ONE shuffle of events+features on the entity
     key, then a linear scan per entity.  All JVM-side (window exec +
     codegen'd last), no Python anywhere.
 
@@ -83,6 +84,8 @@ def _asof_union(
     strict: bool,
     right_tiebreak: str | None,
 ) -> DataFrame:
+    from pyspark.sql.types import StructType
+
     event_cols = [c for c in events.columns if c not in (on, left_ts)]
     payload = _payload_cols(features, on, right_ts)
     overlap = set(payload) & set(events.columns)
@@ -97,13 +100,19 @@ def _asof_union(
     # Deterministic winner among same-(entity, ts) feature rows.
     tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
 
+    # WHOLE-ROW attach: the payload travels as ONE struct so a null field in
+    # the most recent qualifying feature row stays null in the output (per-
+    # column last(ignorenulls) would graft older non-null values from OTHER
+    # feature rows — diverging from merge_asof and the LATERAL oracle).
+    pl_type = StructType([features.schema[c] for c in payload])
+
     ev = events.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(event_tag).alias("__tag"),
         F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in event_cols],
-        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pl_type).alias("__pl"),
     )
     ft = features.select(
         F.col(on),
@@ -111,7 +120,7 @@ def _asof_union(
         F.lit(feat_tag).alias("__tag"),
         tiebreak.cast("long").alias("__tb"),
         *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__pl"),
     )
 
     w = (
@@ -124,11 +133,12 @@ def _asof_union(
         F.col("__ts"),
         F.col("__tag"),
         *[F.col(c) for c in event_cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(F.col("__pl"), ignorenulls=True).over(w).alias("__pl"),
     )
     return (
         filled.filter(F.col("__tag") == event_tag)
-        .select(F.col(on), F.col("__ts").alias(left_ts), *event_cols, *payload)
+        .select(F.col(on), F.col("__ts").alias(left_ts), *event_cols,
+                *[F.col("__pl").getField(c).alias(c) for c in payload])
     )
 
 

@@ -261,31 +261,46 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     DataFrame ops; iteration count is O(graph diameter), which for near-dup
     clusters (dense little cliques) is 1-2.  The driver only checks a
     convergence COUNT per pass, never data.
+
+    Each round's labels are ``localCheckpoint``-ed (eager): iterative lineage
+    otherwise re-executes the ENTIRE join chain from scratch at every
+    convergence count — O(k²) joins over k rounds, pathological on long
+    chains at scale.  Checkpointing truncates the plan so round k costs one
+    join, and the edges frame is persisted (touched twice per round).
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    for _ in range(max_iters):
-        # smallest neighbor label per node (disambiguated column names — the
-        # label frame is derived from edges, so lineage would collide)
-        nbr = edges.join(labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")), "dst")
-        neighbor_min = nbr.groupBy(F.col("src").alias("node")).agg(F.min("dlbl").alias("nlbl"))
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
-        )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "newlbl")
-            .join(labels, "node")
-            .filter(F.col("newlbl") != F.col("lbl"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            # smallest neighbor label per node (disambiguated column names — the
+            # label frame is derived from edges, so lineage would collide)
+            nbr = edges.join(labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")), "dst")
+            neighbor_min = nbr.groupBy(F.col("src").alias("node")).agg(F.min("dlbl").alias("nlbl"))
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+                .localCheckpoint()  # truncate lineage: round k reads round k-1's blocks
+            )
+            changed = (
+                new_labels.withColumnRenamed("lbl", "newlbl")
+                .join(labels, "node")
+                .filter(F.col("newlbl") != F.col("lbl"))
+                .limit(1).count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(F.col("node").alias("id"), F.col("lbl").alias("cluster"))
 
 

@@ -92,15 +92,20 @@ def knn_lsh(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucketing, score only same-bucket
     candidates.  With n_planes=8 the corpus splits into ≤256 buckets — the
-    cross product shrinks ~256× at the cost of recall.  ``multiprobe=1`` also
-    probes every bucket one sign-flip away (n_planes+1 buckets per query) —
-    the standard recall/cost dial.  Bucket assignment is a map-side Column
-    expression; the probe is an equi-join on bucket id, so each corpus vector
-    is scored against only the queries probing its bucket."""
-    dim = len(queries.select(q_vec).first()[0])
+    cross product shrinks ~256× at the cost of recall.  ``multiprobe=L`` also
+    probes every bucket up to L sign-flips away (L=1 → n+1 buckets, L=2 →
+    1 + n + n(n-1)/2) — the standard recall/cost dial.  Bucket assignment is
+    a map-side Column expression; the probe is an equi-join on bucket id, so
+    each corpus vector is scored against only the queries probing its bucket.
+
+    Pass ``dim`` explicitly to keep plan-build free of driver actions; when
+    omitted it is inferred with one bounded ``.first()`` on the query side."""
+    if dim is None:
+        dim = len(queries.select(q_vec).first()[0])
     planes = _plane_literals(dim, n_planes, seed)
     cb = corpus.withColumn("__bucket", bucket_of(F.col(c_vec), planes))
     qb = queries.withColumn("__b0", bucket_of(F.col(q_vec), planes))
@@ -108,6 +113,14 @@ def knn_lsh(
     if multiprobe >= 1:
         probe_buckets += [
             F.col("__b0").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i)) for i in range(n_planes)
+        ]
+    if multiprobe >= 2:
+        probe_buckets += [
+            F.col("__b0")
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), j))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
     qb = qb.withColumn("__bucket", F.explode(F.array(*probe_buckets))).drop("__b0")
     scored = cb.join(F.broadcast(qb), "__bucket").select(
@@ -240,8 +253,12 @@ def embedding_topk_pairs(
     embedding near-dup report.  Vectors are unit-normalized map-side (pair
     scoring = dot product), the self-join is explicitly widened (the corpus
     is byte-small but the pair space is CPU-huge — AQE's byte-based
-    coalescing must not serialize it).  For 100 TB corpora swap the self-join
-    for the LSH bucketing above; this exact variant is the oracle."""
+    coalescing must not serialize it).  The global top-k is
+    ``orderBy().limit(k)`` — Catalyst plans TakeOrderedAndProject (per-
+    partition k-heaps + a driver merge of k·P rows), NOT a single-task sort
+    of all n²/2 pairs the way a global row_number window would.  For 100 TB
+    corpora swap the self-join for the LSH bucketing above; this exact
+    variant is the oracle."""
     width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     unit = corpus.select(F.col(c_id).alias("a"), normalized(F.col(c_vec)).alias("__va"))
     a = unit.repartition(width)
@@ -249,5 +266,4 @@ def embedding_topk_pairs(
     pairs = a.join(b, F.col("a") < F.col("b")).select(
         "a", "b", F.round(_dot(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("a"), F.col("b"))
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+    return pairs.orderBy(F.col("cos_sim").desc(), F.col("a"), F.col("b")).limit(k)

@@ -61,22 +61,28 @@ def asof_join_bucketed(
     construction share a bucket, so the within-bucket tag ordering handles it
     and the carry-in (features from strictly earlier buckets) is always safe.
     """
+    from pyspark.sql.types import StructType
+
     event_cols = [c for c in events.columns if c not in (on, left_ts)]
     payload = [c for c in features.columns if c not in (on, right_ts)]
     feat_tag, event_tag = (1, 0) if strict else (0, 1)
     tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
 
+    # Whole-row payload struct (see asof._asof_union): the winning feature ROW
+    # attaches as-is, nulls preserved — never a per-column mix of rows.
+    pl_type = StructType([features.schema[c] for c in payload])
+
     ev = events.select(
         F.col(on), F.col(left_ts).alias("__ts"), F.lit(event_tag).alias("__tag"),
         F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in event_cols],
-        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pl_type).alias("__pl"),
     )
     ft = features.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(feat_tag).alias("__tag"),
         tiebreak.cast("long").alias("__tb"),
         *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__pl"),
     )
     un = ev.unionByName(ft).withColumn("__bkt", _bkt("__ts", bucket_seconds))
 
@@ -89,16 +95,15 @@ def asof_join_bucketed(
     within = un.select(
         F.col(on), "__ts", "__tag", "__bkt",
         *[F.col(c) for c in event_cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w_in).alias(f"__in_{c}") for c in payload],
+        F.last(F.col("__pl"), ignorenulls=True).over(w_in).alias("__in_pl"),
     )
 
-    # pass 2: tiny per-(entity, bucket) feature summaries → carry-in
+    # pass 2: tiny per-(entity, bucket) feature summaries → carry-in.
+    # The summary is the LAST feature row of the bucket (max (__ts, __tb)),
+    # as one struct — whole-row semantics carry across buckets too.
     fb = ft.withColumn("__bkt", _bkt("__ts", bucket_seconds))
     fsum = fb.groupBy(on, "__bkt").agg(
-        *[
-            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.struct("__ts", "__tb"))).alias(c)
-            for c in payload
-        ]
+        F.max_by(F.col("__pl"), F.struct("__ts", "__tb")).alias("__pl")
     )
     domain = un.select(on, "__bkt").distinct()
     w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -106,16 +111,17 @@ def asof_join_bucketed(
         domain.join(fsum, [on, "__bkt"], "left")
         .select(
             F.col(on), "__bkt",
-            *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in payload],
+            F.last(F.col("__pl"), ignorenulls=True).over(w_b).alias("__carry_pl"),
         )
     )
 
     out = (
         within.filter(F.col("__tag") == event_tag)
         .join(carry, [on, "__bkt"])
+        .withColumn("__pl", F.coalesce(F.col("__in_pl"), F.col("__carry_pl")))
         .select(
             F.col(on), F.col("__ts").alias(left_ts), *event_cols,
-            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")).alias(c) for c in payload],
+            *[F.col("__pl").getField(c).alias(c) for c in payload],
         )
     )
     return out
@@ -184,9 +190,10 @@ def sessionize_bucketed(
     d = df.withColumn("__bkt", _bkt(ts, bucket_seconds))
     w_in = Window.partitionBy(on, "__bkt").orderBy(ts)
     prev_in = F.lag(F.col(ts)).over(w_in)
+    # gap math in MICROSECONDS (see operators.windows.sessionize)
     is_new_raw = (
         prev_in.isNull()
-        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_in) > F.lit(gap_seconds))
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev_in) > F.lit(gap_seconds) * 1_000_000)
     ).cast("long")
     run = Window.partitionBy(on, "__bkt").orderBy(ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d2 = d.withColumn("__s_raw", F.sum(is_new_raw).over(run))
@@ -202,8 +209,8 @@ def sessionize_bucketed(
             F.when(
                 F.col("__prev_last").isNotNull()
                 & (
-                    F.unix_timestamp("__first_ts") - F.unix_timestamp("__prev_last")
-                    <= F.lit(gap_seconds)
+                    F.unix_micros("__first_ts") - F.unix_micros("__prev_last")
+                    <= F.lit(gap_seconds) * 1_000_000
                 ),
                 F.lit(-1),
             ).otherwise(F.lit(0)).cast("long"),
@@ -265,6 +272,8 @@ def pit_fused_bucketed(
       replicated from the previous present bucket, and their originals live
       in another partition so nothing double-counts.
     """
+    from pyspark.sql.types import StructType
+
     ffill_cols = ffill_cols or []
     payload = [c for c in features.columns if c not in (on, right_ts)]
     event_cols = [c for c in events.columns if c not in (on, left_ts)]
@@ -274,17 +283,22 @@ def pit_fused_bucketed(
     feat_tag, event_tag = (1, 0) if strict else (0, 1)
     tiebreak = F.xxhash64(*[F.col(c) for c in payload])
 
+    # Whole-row payload struct (see asof._asof_union): the as-of attach is the
+    # winning feature ROW, nulls preserved.  (ffill stays per-column — that IS
+    # forward-fill's semantics.)
+    pl_type = StructType([features.schema[c] for c in payload])
+
     ev = events.select(
         F.col(on), F.col(left_ts).alias("__ts"), F.lit(event_tag).alias("__tag"),
         F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in event_cols],
-        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pl_type).alias("__pl"),
     )
     ft = features.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(feat_tag).alias("__tag"),
         tiebreak.cast("long").alias("__tb"),
         *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__pl"),
     )
     un = ev.unionByName(ft).withColumn("__bkt", _bkt("__ts", bucket_seconds)).withColumn(
         "__ctx", F.lit(0)
@@ -300,10 +314,10 @@ def pit_fused_bucketed(
             un.select(on, "__bkt").distinct()
             .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
         )
-        bucket_end = (F.col("__bkt") + 1) * bucket_seconds
+        bucket_end_us = ((F.col("__bkt") + 1) * bucket_seconds).cast("long") * 1_000_000
         ctx = (
             un.filter((F.col("__tag") == event_tag)
-                      & (F.unix_timestamp(F.col("__ts")) >= bucket_end - rng))
+                      & (F.unix_micros(F.col("__ts")) >= bucket_end_us - rng * 1_000_000))
             .join(chain, [on, "__bkt"])
             .filter(F.col("__next_bkt").isNotNull())
             .withColumn("__bkt", F.col("__next_bkt"))
@@ -323,7 +337,7 @@ def pit_fused_bucketed(
     cols = [
         F.col(on), F.col("__ts"), F.col("__tag"), F.col("__bkt"), F.col("__ctx"),
         *[F.col(c) for c in event_cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w_last).alias(f"__in_{c}") for c in payload],
+        F.last(F.col("__pl"), ignorenulls=True).over(w_last).alias("__in_pl"),
         *[
             F.last(F.when((F.col("__tag") == event_tag) & (F.col("__ctx") == 0), F.col(c)),
                    ignorenulls=True).over(w_last).alias(f"__in_f_{c}")
@@ -336,8 +350,8 @@ def pit_fused_bucketed(
         inc = rolling_spec.get("include_current", False)
         w_roll = (
             Window.partitionBy(on, "__bkt")
-            .orderBy(F.unix_timestamp(F.col("__ts")))
-            .rangeBetween(-int(rolling_spec["range_seconds"]), 0 if inc else -1)
+            .orderBy(F.unix_micros(F.col("__ts")))
+            .rangeBetween(-int(rolling_spec["range_seconds"]) * 1_000_000, 0 if inc else -1)
         )
         cols.append(
             fns[rolling_spec["fn"]](
@@ -349,8 +363,7 @@ def pit_fused_bucketed(
     # ---- tiny summary/carry pass (features + ffill sources per bucket) ----
     fb = ft.withColumn("__bkt", _bkt("__ts", bucket_seconds))
     fsum = fb.groupBy(on, "__bkt").agg(
-        *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.struct("__ts", "__tb"))).alias(c)
-          for c in payload]
+        F.max_by(F.col("__pl"), F.struct("__ts", "__tb")).alias("__pl")
     )
     eb = ev.withColumn("__bkt", _bkt("__ts", bucket_seconds))
     esum = eb.groupBy(on, "__bkt").agg(
@@ -363,7 +376,7 @@ def pit_fused_bucketed(
         domain.join(fsum, [on, "__bkt"], "left").join(esum, [on, "__bkt"], "left")
         .select(
             F.col(on), "__bkt",
-            *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in payload],
+            F.last(F.col("__pl"), ignorenulls=True).over(w_b).alias("__carry_pl"),
             *[F.last(F.col(f"__e_{c}"), ignorenulls=True).over(w_b).alias(f"__carry_f_{c}")
               for c in ffill_cols],
         )
@@ -372,11 +385,12 @@ def pit_fused_bucketed(
     out = (
         within.filter((F.col("__tag") == event_tag) & (F.col("__ctx") == 0))
         .join(carry, [on, "__bkt"])
+        .withColumn("__pl2", F.coalesce(F.col("__in_pl"), F.col("__carry_pl")))
         .select(
             F.col(on), F.col("__ts").alias(left_ts),
             *[c for c in event_cols if c not in ffill_cols],
             *[F.coalesce(F.col(f"__in_f_{c}"), F.col(f"__carry_f_{c}")).alias(c) for c in ffill_cols],
-            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")).alias(c) for c in payload],
+            *[F.col("__pl2").getField(c).alias(c) for c in payload],
             *([rolling_spec["name"]] if rolling_spec else []),
         )
     )
@@ -433,8 +447,8 @@ def rolling_bucketed(
             .drop("__rnd")
         )
     else:
-        bucket_end = (F.col("__bkt") + 1) * bucket_seconds
-        tails = d.filter(F.unix_timestamp(F.col(ts)) >= bucket_end - range_seconds)
+        bucket_end_us = ((F.col("__bkt") + 1) * bucket_seconds).cast("long") * 1_000_000
+        tails = d.filter(F.unix_micros(F.col(ts)) >= bucket_end_us - range_seconds * 1_000_000)
     tails = (
         tails.join(chain, [on, "__bkt"])
         .filter(F.col("__next_bkt").isNotNull())
@@ -452,8 +466,8 @@ def rolling_bucketed(
     else:
         w = (
             Window.partitionBy(on, "__bkt")
-            .orderBy(F.unix_timestamp(F.col(ts)))
-            .rangeBetween(-range_seconds, 0 if include_current else -1)
+            .orderBy(F.unix_micros(F.col(ts)))
+            .rangeBetween(-range_seconds * 1_000_000, 0 if include_current else -1)
         )
     out = aug.withColumns({name: fns[fn](col).over(w) for name, (col, fn) in aggs.items()})
     return out.filter(F.col("__ctx") == 0).drop("__bkt", "__ctx")

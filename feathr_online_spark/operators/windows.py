@@ -64,11 +64,16 @@ def rolling(
     if rows is not None:
         w = entity_window(on, ts).rowsBetween(-(rows - 1) if include_current else -rows, upper)
     else:
-        # rangeBetween needs a numeric ordering column — seconds since epoch.
+        # rangeBetween needs a numeric ordering column — MICROSECONDS since
+        # epoch, so sub-second timestamps frame exactly (whole-second
+        # unix_timestamp would silently lump a whole second together and
+        # disagree with a fractional-epoch oracle at gap boundaries).
+        # include_current=False ends the frame 1 µs before the current value:
+        # "strictly before the current row's instant".
         w = (
             Window.partitionBy(on)
-            .orderBy(F.unix_timestamp(F.col(ts)))
-            .rangeBetween(-range_seconds, 0 if include_current else -1)
+            .orderBy(F.unix_micros(F.col(ts)))
+            .rangeBetween(-range_seconds * 1_000_000, 0 if include_current else -1)
         )
     fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
            "count": F.count, "stddev": F.stddev}
@@ -94,9 +99,12 @@ def sessionize(
     """
     w = entity_window(on, ts)
     prev = F.lag(F.col(ts)).over(w)
+    # gap math in MICROSECONDS — exact for sub-second timestamps (floored
+    # unix_timestamp diffs disagree with fractional-epoch oracles by ±1 s at
+    # gap boundaries).
     is_new = (
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev) > F.lit(gap_seconds))
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > F.lit(gap_seconds) * 1_000_000)
     ).cast("long")
     run = Window.partitionBy(on).orderBy(ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new).over(run) - F.lit(1))

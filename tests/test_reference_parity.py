@@ -141,16 +141,20 @@ def test_aggregation_golden_vectors(spark):
 
 
 def test_math_promotion_and_concat_golden(spark):
-    """math_op.rs semantics via the DSL: int/int stays numeric, string +
-    anything concatenates (math_op.rs:82), div/% force long."""
+    """math_op.rs semantics via the DSL: int/int `/` is Rust-truncated
+    (DivideOperator via binary_math_op: Int/Int → Int), float mixes promote
+    to true double division, string + anything concatenates (math_op.rs:82),
+    div/% force long."""
     p = parse_pipelines(
         't(a as int, s as string)\n'
-        '| project add = a + 1, fdiv = a / 4, idiv = a div 4, m = a % 4, cat = s + "!" \n'
+        '| project add = a + 1, tdiv = a / 4, fdiv = a / 4.0,'
+        '  idiv = a div 4, m = a % 4, cat = s + "!" \n'
         ';'
     )["t"]
     r = p.run(spark, [{"a": 10, "s": "hi"}]).collect()[0]
     assert r.add == 11
-    assert r.fdiv == pytest.approx(2.5)
+    assert r.tdiv == 2                    # Int/Int truncates (math_op.rs:197)
+    assert r.fdiv == pytest.approx(2.5)   # float operand → true division
     assert r.idiv == 2 and r.m == 2
     assert r.cat == "hi!"
 

@@ -54,10 +54,12 @@ def test_representative_semantics(spark):
     assert one(spark, fn("element_at")(F.array(F.lit(1), F.lit(2)), 0)) == 1
     assert one(spark, fn("mod")(F.lit(-7), F.lit(3))) == 2
     assert one(spark, fn("split")(F.lit("a.b"), ".")) == ["a", "b"]
-    # bug-compat last_day/next_day = +1 day (reference mod.rs:224,271)
+    # bug-compat last_day = -1 day, next_day = +1 day (reference mod.rs:224,271)
     import datetime
     d = one(spark, fn("last_day")(F.lit("2023-01-15").cast("date")))
-    assert d == datetime.date(2023, 1, 16)
+    assert d == datetime.date(2023, 1, 14)
+    d2 = one(spark, fn("next_day")(F.lit("2023-01-15").cast("date")))
+    assert d2 == datetime.date(2023, 1, 16)
     # plain pass-throughs
     assert one(spark, fn("levenshtein")(F.lit("kitten"), F.lit("sitting"))) == 3
     assert one(spark, fn("instr")(F.lit("hello"), F.lit("l"))) == 3
