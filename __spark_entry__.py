@@ -1079,6 +1079,35 @@ SELECT event_id, user_id, event_type AS etype, round(value, 4) AS amount FROM ev
 """
 
 
+def q_lookup_callable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-callable lookup source (reference python/src/lib.rs:56-158):
+    a deterministic pure function served through the mapInPandas-batched
+    CallableSource, so DuckDB can reproduce it with expressions."""
+    from feathr_online_spark.sources.registry import CallableSource
+
+    nation = _t(spark, sf_dir, "nation")
+
+    def fn(key, fields):
+        vals = {"label": f"R{int(key)}", "sq": int(key) * int(key)}
+        return [[vals[f] for f in fields]]
+
+    src = CallableSource(fn, key="rk", fields_schema="label string, sq long")
+    return (
+        Pipeline(nation)
+        .lookup(src, on=F.col("n_regionkey"), key="rk", fields=["label", "sq"])
+        .project_keep("n_nationkey", "n_name", "label", "sq")
+        .df
+    )
+
+
+ORACLE_LOOKUP_CALLABLE = """
+SELECT n_nationkey, n_name,
+       'R' || CAST(n_regionkey AS VARCHAR) AS label,
+       CAST(n_regionkey * n_regionkey AS BIGINT) AS sq
+FROM nation
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """connected components over near-dup pairs (min-label propagation) →
     (id, cluster); the oracle computes the same transitive closure with a
@@ -1174,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take": q_take,
         "project_rename_remove": q_project_rename_remove,
         "dedup_clusters": q_dedup_clusters,
+        "lookup_callable": q_lookup_callable,
     }
 
 
@@ -1216,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "take": ORACLE_TAKE,
         "project_rename_remove": ORACLE_PROJECT_RENAME_REMOVE,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "lookup_callable": ORACLE_LOOKUP_CALLABLE,
         # dedup_simhash, multimodal: intentionally no oracle (engine-specific
         # hashing / binary+UDF) → driver rows-only check
     }

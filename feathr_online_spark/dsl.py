@@ -292,9 +292,37 @@ def _unescape(s: str) -> str:
 # AST → Column compiler
 # ---------------------------------------------------------------------------
 
+def _dyn_text(e: Column) -> Column:
+    """Dynamic-column carrier → its scalar text: the carrier is the value's
+    JSON serialization (see CompiledPipeline.run), so '$' unwraps it — bare
+    numbers/bools come back as their literal text, strings unquoted."""
+    return F.get_json_object(e, "$")
+
+
+def _dyn_as(e: Column, t: str | None, want: str) -> Column:
+    """Coerce a possibly-dynamic operand for a typed context (parse-on-use,
+    mirroring the reference's runtime Value dispatch, dsl_parser.rs:45-51):
+    ``want`` ∈ num | text | bool.  Non-dynamic operands pass through."""
+    if t != "dynamic":
+        return e
+    txt = _dyn_text(e)
+    if want == "num":
+        return txt.cast("double")
+    if want == "bool":
+        return txt.cast("boolean")
+    return txt
+
+
 class ExprCompiler:
     """Compiles expression ASTs to Columns, tracking rough static types so
-    piper's string-`+`-is-concat rule (math_op.rs:82) can be honored."""
+    piper's string-`+`-is-concat rule (math_op.rs:82) can be honored.
+
+    Dynamic columns (declared without ``as type``, the reference's default —
+    dsl_parser.rs:45-51) ride in a JSON-string carrier and are parsed on use:
+    arithmetic casts the unwrapped text to double, comparisons and concat use
+    the text, dot/index access becomes a JsonPath step.  The reference would
+    return runtime-typed Values; the carrier keeps one Spark column type while
+    preserving observable results for numeric/string/bool payloads."""
 
     def __init__(self, col_types: dict[str, str]):
         self.col_types = dict(col_types)
@@ -323,14 +351,26 @@ class ExprCompiler:
             return F.lit({"PI": math.pi, "E": math.e, "TAU": math.tau}[ast[1]]), "double"
         if kind == "col":
             segs = ast[1]
+            base_t = self.col_types.get(segs[0])
+            if base_t == "dynamic" and len(segs) > 1:
+                # dot access into a dynamic value = JsonPath step; the result
+                # is JSON text again (objects/arrays chain, scalars unwrap at
+                # the use site), so it stays dynamic
+                return F.get_json_object(F.col(segs[0]), "$." + ".".join(segs[1:])), "dynamic"
             c = F.col(segs[0])
             for s in segs[1:]:
                 c = c.getItem(s)
-            t = self.col_types.get(segs[0]) if len(segs) == 1 else None
+            t = base_t if len(segs) == 1 else None
             return c, t
         if kind == "index":
-            base, _ = self.compile(ast[1])
+            base, bt = self.compile(ast[1])
             idx_ast = ast[2]
+            if bt == "dynamic":
+                if idx_ast[0] == "str":
+                    return F.get_json_object(base, f"$.{idx_ast[1]}"), "dynamic"
+                if idx_ast[0] == "num":
+                    return F.get_json_object(base, f"$[{int(idx_ast[1], 0)}]"), "dynamic"
+                raise SyntaxError("dynamic index must be a literal")
             if idx_ast[0] == "str":
                 return base.getItem(idx_ast[1]), None
             idx, _ = self.compile(idx_ast)
@@ -339,11 +379,11 @@ class ExprCompiler:
             op = ast[1]
             e, t = self.compile(ast[2])
             if op == "-":
-                return -e, t
+                return -_dyn_as(e, t, "num"), ("double" if t == "dynamic" else t)
             if op == "+":
-                return e, t
+                return _dyn_as(e, t, "num") if t == "dynamic" else e, ("double" if t == "dynamic" else t)
             if op in ("!", "not"):
-                return ~e, "boolean"
+                return ~_dyn_as(e, t, "bool"), "boolean"
             if op == "~":
                 return lookup_fn("bit_not")(e), t
             if op == "is null":
@@ -356,12 +396,14 @@ class ExprCompiler:
             b, tb = self.compile(ast[3])
             if op == "+":
                 if ta == "string" or tb == "string":
-                    return F.concat(a.cast("string"), b.cast("string")), "string"
+                    return F.concat(_dyn_as(a, ta, "text").cast("string"),
+                                    _dyn_as(b, tb, "text").cast("string")), "string"
+                a, b = _dyn_as(a, ta, "num"), _dyn_as(b, tb, "num")
                 return a + b, _promote(ta, tb)
             if op == "-":
-                return a - b, _promote(ta, tb)
+                return _dyn_as(a, ta, "num") - _dyn_as(b, tb, "num"), _promote(ta, tb)
             if op == "*":
-                return a * b, _promote(ta, tb)
+                return _dyn_as(a, ta, "num") * _dyn_as(b, tb, "num"), _promote(ta, tb)
             if op == "/":
                 # DivideOperator (math_op.rs:197 via binary_math_op) is typed:
                 # Int/Int → Int, Int|Long/Long → Long, both Rust-truncated;
@@ -369,29 +411,29 @@ class ExprCompiler:
                 if ta in ("int", "long") and tb in ("int", "long"):
                     out_t = "long" if "long" in (ta, tb) else "int"
                     return (a / b).cast(out_t), out_t
-                return a / b, "double"
+                return _dyn_as(a, ta, "num") / _dyn_as(b, tb, "num"), "double"
             if op == "div":
-                return P.div(a, b), "long"
+                return P.div(_dyn_as(a, ta, "num"), _dyn_as(b, tb, "num")), "long"
             if op == "%":
-                return P.mod_long(a, b), "long"
+                return P.mod_long(_dyn_as(a, ta, "num"), _dyn_as(b, tb, "num")), "long"
             if op == "&":
                 return lookup_fn("bit_and")(a, b), _promote(ta, tb)
             if op == "and":
-                return a & b, "boolean"
+                return _dyn_as(a, ta, "bool") & _dyn_as(b, tb, "bool"), "boolean"
             if op == "or":
-                return a | b, "boolean"
-            if op == ">":
-                return a > b, "boolean"
-            if op == "<":
-                return a < b, "boolean"
-            if op == ">=":
-                return a >= b, "boolean"
-            if op == "<=":
-                return a <= b, "boolean"
-            if op == "==":
-                return a == b, "boolean"
-            if op == "!=":
-                return a != b, "boolean"
+                return _dyn_as(a, ta, "bool") | _dyn_as(b, tb, "bool"), "boolean"
+            if op in (">", "<", ">=", "<=", "==", "!="):
+                # comparisons: a dynamic operand adopts the other side's
+                # shape — numeric vs numbers, text otherwise
+                if "dynamic" in (ta, tb):
+                    other = tb if ta == "dynamic" else ta
+                    want = "num" if other in ("int", "long", "float", "double") else "text"
+                    a, b = _dyn_as(a, ta, want), _dyn_as(b, tb, want)
+                import operator as _op
+
+                pyop = {">": _op.gt, "<": _op.lt, ">=": _op.ge,
+                        "<=": _op.le, "==": _op.eq, "!=": _op.ne}[op]
+                return pyop(a, b), "boolean"
         if kind == "call":
             name = ast[1]
             # strftime-format functions take the format as a python string
@@ -415,7 +457,10 @@ class ExprCompiler:
                 elif x[0] == "bool":
                     args.append(x[1])
                 else:
-                    args.append(self.compile(x)[0])
+                    c, ct = self.compile(x)
+                    # dynamic args reach registry functions as scalar text —
+                    # the functions' casts take it from there
+                    args.append(_dyn_text(c) if ct == "dynamic" else c)
             f = lookup_fn(name)
             out_t = "string" if name.lower() in ("string", "concat", "upper", "lower", "translate", "trim") else None
             return f(*args), out_t
@@ -466,9 +511,20 @@ class CompiledPipeline:
 
     def run(self, spark: SparkSession, rows: list[dict], sources=None) -> DataFrame:
         """Reference entry-point parity: materialize a request row set
-        (piper/src/piper.rs:198-240) and run the pipeline over it."""
+        (piper/src/piper.rs:198-240) and run the pipeline over it.
+
+        Dynamic columns (no ``as type``) accept ANY python value; it rides in
+        the JSON-string carrier and is parsed on use by the compiler."""
+        import json
+
         schema = ", ".join(f"{n} {_SPARK_TYPES[t]}" for n, t in self.input_schema)
-        data = [tuple(r.get(n) for n, _ in self.input_schema) for r in rows]
+
+        def enc(v, t):
+            if t == "dynamic" and v is not None:
+                return json.dumps(v, separators=(",", ":"))
+            return v
+
+        data = [tuple(enc(r.get(n), t) for n, t in self.input_schema) for r in rows]
         df = spark.createDataFrame(data, schema)
         return self.apply(df, sources)
 
@@ -535,10 +591,16 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
             return p.summarize(aggs, by=by), out_types
         return p.summarize(aggs), {n: None for n in aggs}
     if verb in ("lookup", "join"):
+        from feathr_online_spark.sources.registry import CallableSource
+
         fields, src_name, key_ast, kind = payload
         if src_name not in sources:
             raise KeyError(f"lookup source '{src_name}' not provided")
-        src_df, src_key = sources[src_name]
+        entry = sources[src_name]
+        if isinstance(entry, CallableSource):
+            src_df, src_key = entry, entry.key
+        else:
+            src_df, src_key = entry
         fmap = {}
         for dst, src_f, ftype in fields:
             fmap[dst] = src_f

@@ -56,16 +56,28 @@ def _next_day_piper(x):
 
 
 def _get_json_array(col, path: str):
-    """Reference get_json_array: all JsonPath matches as an array
-    (extract_json.rs:6-80).  Two covered shapes: a path addressing a JSON
-    array (``$.a``), and the reference's demo shape ``$[*].name`` selecting a
-    field from every element of a root array."""
-    m = re.fullmatch(r"\$\[\*\]\.(\w+)", path)
-    if m:
-        fname = m.group(1)
-        arr = F.from_json(col, f"array<map<string,string>>")
-        return F.transform(arr, lambda e: e.getItem(fname))
-    return F.from_json(F.get_json_object(col, path), "array<string>")
+    """Reference get_json_array: ALL JsonPath matches as an array
+    (extract_json.rs:45-80, full JsonPath via jsonpath_lib).  One fast-path
+    special case stays native: a simple path addressing a JSON array unwraps
+    JVM-side; everything else (wildcards, recursive descent, slices, unions)
+    runs through the Arrow-vectorized evaluator in functions/jsonpath.py."""
+    from feathr_online_spark.functions import jsonpath as JP
+
+    if JP.spark_native_path(path) and "*" not in path:
+        # path addresses one value; if that value is an array, unwrap it
+        return F.from_json(F.get_json_object(col, path), "array<string>")
+    return JP.get_json_array_udf(path)(_c(col))
+
+
+def _get_json_object(col, path: str):
+    """Reference get_json_object: FIRST JsonPath match (extract_json.rs:6-42).
+    Spark's native function evaluates the simple-path subset in the JVM —
+    keep it for those; full-JsonPath paths fall back to the evaluator."""
+    from feathr_online_spark.functions import jsonpath as JP
+
+    if JP.spark_native_path(path):
+        return F.get_json_object(col, path)
+    return JP.get_json_object_udf(path)(_c(col))
 
 
 def _iff(cond, a, b):
@@ -175,7 +187,7 @@ _REGISTRY: dict[str, object] = {
     "map_contains_key": F.map_contains_key, "map_from_arrays": F.map_from_arrays,
     "map_keys": F.map_keys, "map_values": F.map_values,
     # --- JSON (extract_json.rs, to_json.rs, misc_functions.rs:275-304) ---
-    "get_json_object": F.get_json_object, "get_json_array": _get_json_array,
+    "get_json_object": _get_json_object, "get_json_array": _get_json_array,
     "json_array_length": F.json_array_length, "json_object_keys": F.json_object_keys,
     "to_json": F.to_json,
     # --- regex (regexp.rs) ---

@@ -195,7 +195,12 @@ class Pipeline:
         a row_number window when possible; the dimension is broadcast by
         default — a lookup source is small by construction in the reference
         (loaded wholesale into memory, local_store/mod.rs:70-168).
+
+        ``source`` may also be a CallableSource (the Python lookup-function
+        surface, python/src/lib.rs:56-158): it is materialized against THIS
+        side's distinct probe keys before the join.
         """
+        source = self._materialize_source(source, on)
         if isinstance(fields, list):
             fields = {f: f for f in fields}
         order = F.col(tiebreak) if tiebreak else F.col(key)
@@ -226,6 +231,7 @@ class Pipeline:
         how = {"left-inner": "inner", "left-outer": "left"}.get(kind)
         if how is None:
             raise PipelineError(f"join: unknown kind '{kind}'")
+        source = self._materialize_source(source, on)
         if isinstance(fields, list):
             fields = {f: f for f in fields}
         dim = source.select(
@@ -235,6 +241,16 @@ class Pipeline:
             dim = F.broadcast(dim)
         key_expr = _as_column(on)
         return Pipeline(self.df.join(dim, key_expr == F.col("__lk_key"), how).drop("__lk_key"))
+
+    def _materialize_source(self, source, on: Column | str):
+        """CallableSource → DataFrame of (key, fields) over this side's
+        distinct probe keys; DataFrames pass through."""
+        from feathr_online_spark.sources.registry import CallableSource
+
+        if isinstance(source, CallableSource):
+            keys = self.df.select(_as_column(on).alias(source.key)).distinct()
+            return source.materialize(keys)
+        return source
 
     # -- error-as-value (SURVEY.md §1.4) -------------------------------------
 

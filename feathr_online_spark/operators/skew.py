@@ -365,15 +365,18 @@ def pit_fused_bucketed(
     fsum = fb.groupBy(on, "__bkt").agg(
         F.max_by(F.col("__pl"), F.struct("__ts", "__tb")).alias("__pl")
     )
-    eb = ev.withColumn("__bkt", _bkt("__ts", bucket_seconds))
-    esum = eb.groupBy(on, "__bkt").agg(
-        *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__ts"))).alias(f"__e_{c}")
-          for c in ffill_cols]
-    )
     domain = un.select(on, "__bkt").distinct()
     w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    joined = domain.join(fsum, [on, "__bkt"], "left")
+    if ffill_cols:
+        eb = ev.withColumn("__bkt", _bkt("__ts", bucket_seconds))
+        esum = eb.groupBy(on, "__bkt").agg(
+            *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__ts"))).alias(f"__e_{c}")
+              for c in ffill_cols]
+        )
+        joined = joined.join(esum, [on, "__bkt"], "left")
     carry = (
-        domain.join(fsum, [on, "__bkt"], "left").join(esum, [on, "__bkt"], "left")
+        joined
         .select(
             F.col(on), "__bkt",
             F.last(F.col("__pl"), ignorenulls=True).over(w_b).alias("__carry_pl"),

@@ -19,6 +19,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CallableSource:
+    """User-function lookup source — the batch analog of the reference's
+    Python lookup callables (python/src/lib.rs:56-158,
+    python/examples/lookup_example.py:12-36): ``fn(key, fields)`` returns a
+    list of rows, each a list aligned with ``fields``.
+
+    The reference calls the function per request key; the batch engine calls
+    it per DISTINCT probe key inside ``mapInPandas`` — Arrow-batched transfer,
+    one Python round-trip per partition, never per input row.  Async
+    callables (the reference mandates coroutines) are gathered concurrently
+    per batch, which preserves the reference's overlapping-I/O behaviour for
+    slow remote lookups.
+
+    ``fields_schema`` is a DDL string for the served columns, e.g.
+    ``"name string, age long"``; the key column's type is adopted from the
+    probe side at materialize time.
+    """
+
+    def __init__(self, fn, key: str, fields_schema: str):
+        self.fn = fn
+        self.key = key
+        self.fields_schema = fields_schema
+        from pyspark.sql.types import StructType
+
+        self._fields_struct = StructType.fromDDL(fields_schema)
+
+    @property
+    def field_names(self) -> list[str]:
+        return [f.name for f in self._fields_struct.fields]
+
+    def materialize(self, keys_df: DataFrame) -> DataFrame:
+        """Evaluate the callable for every (distinct) key row in ``keys_df``
+        (single column named ``self.key``) → DataFrame(key, *fields)."""
+        import asyncio
+        import inspect
+
+        fn = self.fn
+        key = self.key
+        names = self.field_names
+        out_schema = (
+            f"{key} {keys_df.schema[0].dataType.simpleString()}, {self.fields_schema}"
+        )
+        is_async = inspect.iscoroutinefunction(fn)
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                keys = list(pdf[key])
+                if is_async:
+                    async def _all():
+                        return await asyncio.gather(*(fn(k, names) for k in keys))
+
+                    results = asyncio.run(_all())
+                else:
+                    results = [fn(k, names) for k in keys]
+                rows = []
+                for k, res in zip(keys, results):
+                    for row in res or []:
+                        rows.append([k, *row])
+                yield pd.DataFrame(rows, columns=[key] + names)
+
+        return keys_df.mapInPandas(gen, out_schema)
+
+
 class SourceRegistry:
     """Name → DataFrame map mirroring the reference's lookup config
     (conf/lookup.json): each entry has a key column and the fields it serves."""
@@ -52,6 +117,14 @@ class SourceRegistry:
         """SQL Server / SQLite / any JDBC source (lookup/mssql, lookup/sqlite)."""
         df = self.spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
         self.register(name, df, key)
+
+    def register_callable(self, name: str, fn, key: str, fields_schema: str) -> None:
+        """Python-callable lookup source (reference python/src/lib.rs:56-158):
+        ``fn(key, fields) -> list[rows]``, sync or async.  Consumed by the
+        lookup/join verbs like any other source; materialized lazily against
+        the probe side's distinct keys."""
+        self._sources[name] = CallableSource(fn, key, fields_schema)
+        self._keys[name] = key
 
     def get(self, name: str) -> DataFrame:
         if name not in self._sources:

@@ -136,3 +136,51 @@ def test_deterministic_among_equal_ts_features(spark):
     v1 = asof_join(events, f1).collect()[0]["f"]
     v2 = asof_join(events, f2).collect()[0]["f"]
     assert v1 == v2
+
+
+def test_whole_row_attach_nulls_preserved(spark):
+    """When the most recent qualifying feature row has a null in one payload
+    column, the output must keep that null — NOT graft the older row's value
+    into the gap.  All three physical strategies must agree (whole-row
+    semantics: the payload travels as one struct / merge_asof row)."""
+    from feathr_online_spark.operators.skew import asof_join_bucketed
+
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"), "e1")],
+        "entity long, event_time timestamp, eid string",
+    )
+    features = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 1.0, 100.0),   # older, fully non-null
+            (1, ts("2024-01-01 11:00:00"), None, 200.0),  # latest: f1 is null
+        ],
+        "entity long, feature_time timestamp, f1 double, f2 double",
+    )
+    for strategy in ("union", "cogroup"):
+        row = asof_join(events, features, strategy=strategy).collect()[0]
+        assert row.f1 is None, f"{strategy}: expected null f1, got {row.f1}"
+        assert row.f2 == 200.0
+    row = asof_join_bucketed(events, features).collect()[0]
+    assert row.f1 is None and row.f2 == 200.0
+
+
+def test_whole_row_carry_across_buckets(spark):
+    """Same whole-row property when the winning feature row is in an EARLIER
+    bucket (exercises the bucketed variant's carry pass)."""
+    from feathr_online_spark.operators.skew import asof_join_bucketed, pit_fused_bucketed
+
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-05 12:00:00"), "e1")],
+        "entity long, event_time timestamp, eid string",
+    )
+    features = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 1.0, 100.0),
+            (1, ts("2024-01-02 11:00:00"), None, 200.0),  # latest (earlier bucket): f1 null
+        ],
+        "entity long, feature_time timestamp, f1 double, f2 double",
+    )
+    row = asof_join_bucketed(events, features, bucket_seconds=86400).collect()[0]
+    assert row.f1 is None and row.f2 == 200.0
+    row = pit_fused_bucketed(events, features, bucket_seconds=86400).collect()[0]
+    assert row.f1 is None and row.f2 == 200.0

@@ -164,3 +164,32 @@ def test_movie_metadata_shape(spark):
     assert r.tmdb_url == "https://www.themoviedb.org/movie/901"
     assert r.imdb_url == "https://www.imdb.com/title/111"
     assert "poster_path" not in out.columns and "genres1" not in out.columns
+
+
+def test_dynamic_columns_parse_on_use(spark):
+    """Columns without `as type` are Dynamic (dsl_parser.rs:45-51): any
+    payload rides the JSON carrier and is parsed where used — arithmetic as
+    numbers, concat as text, dot/index access as JsonPath steps."""
+    p = parse_pipelines(
+        't(a, obj, arr, s as string)\n'
+        '| project twice = a * 2, msg = s + a, x = obj.x, first = arr[0]\n'
+        ';'
+    )["t"]
+    rows = [{"a": 21, "obj": {"x": 7}, "arr": ["p", "q"], "s": "v="}]
+    r = p.run(spark, rows).collect()[0]
+    assert r.twice == 42.0
+    assert r.msg == "v=21"
+    assert r.x == "7"         # dynamic result stays carrier text
+    assert r.first == "p"
+
+
+def test_dynamic_comparison_and_where(spark):
+    p = parse_pipelines(
+        't(a, s as string)\n'
+        '| where a > 10\n'
+        '| project label = case when a > 100 then "big" else "small" end\n'
+        ';'
+    )["t"]
+    rows = [{"a": 5, "s": "x"}, {"a": 50, "s": "y"}, {"a": 500, "s": "z"}]
+    got = sorted(r.label for r in p.run(spark, rows).collect())
+    assert got == ["big", "small"]

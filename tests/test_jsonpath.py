@@ -1,0 +1,82 @@
+"""Full-JsonPath get_json_array / get_json_object parity
+(reference extract_json.rs:6-80 + its test vectors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_online_spark.functions import jsonpath as JP
+from feathr_online_spark.functions.registry import fn
+
+
+def sel(doc, path):
+    return JP.select(doc, JP.parse_path(path))
+
+
+# -- pure evaluator -----------------------------------------------------------
+
+def test_reference_vectors():
+    # extract_json.rs test_extract_json_array: $.* over flat object
+    assert sel({"a": 1, "b": 2, "c": 3}, "$.*") == [1, 2, 3]
+    # extract_json.rs test_extract_json_object: $.a first match
+    assert sel({"a": {"b": [1, 2]}}, "$.a") == [{"b": [1, 2]}]
+
+
+def test_path_shapes():
+    doc = {"store": {"book": [{"t": "a", "p": 1}, {"t": "b", "p": 2}, {"t": "c"}],
+                     "bike": {"p": 3}}}
+    assert sel(doc, "$.store.book[*].t") == ["a", "b", "c"]
+    assert sel(doc, "$.store.book[0].t") == ["a"]
+    assert sel(doc, "$.store.book[-1].t") == ["c"]
+    assert sel(doc, "$.store.book[0:2].p") == [1, 2]
+    assert sel(doc, "$.store.book[0,2].t") == ["a", "c"]
+    assert sel(doc, "$..p") == [1, 2, 3]                 # recursive descent
+    assert sel(doc, "$['store']['bike'].p") == [3]
+    assert sel(doc, "$.store.*") == [doc["store"]["book"], doc["store"]["bike"]]
+    assert sel(doc, "$.missing") == []
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        JP.parse_path(".....")
+    with pytest.raises(ValueError):
+        JP.parse_path("$.a[bad]")
+
+
+def test_spark_native_detection():
+    assert JP.spark_native_path("$.a.b")
+    assert JP.spark_native_path("$[0].x")
+    assert not JP.spark_native_path("$..b")
+    assert not JP.spark_native_path("$.a[0:2]")
+    assert not JP.spark_native_path("$.a[1,2]")
+
+
+# -- Spark bindings -----------------------------------------------------------
+
+def test_get_json_array_spark(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": 2, "c": 3}',),
+         ('{"items": [{"name": "x"}, {"name": "y"}]}',),
+         ('not json',),
+         (None,)],
+        "j string",
+    )
+    out = df.select(
+        fn("get_json_array")(F.col("j"), "$.*").alias("all_vals"),
+        fn("get_json_array")(F.col("j"), "$.items[*].name").alias("names"),
+    ).collect()
+    assert out[0].all_vals == ["1", "2", "3"]
+    assert out[1].names == ["x", "y"]
+    assert out[2].all_vals is None          # invalid JSON → error-as-null
+    assert out[3].all_vals is None
+
+
+def test_get_json_object_fallback_spark(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"deep": {"p": 42}}, "b": {"p": 7}}',)], "j string"
+    )
+    out = df.select(
+        fn("get_json_object")(F.col("j"), "$..p").alias("first_p"),   # full path → UDF
+        fn("get_json_object")(F.col("j"), "$.b.p").alias("native_p"), # subset → JVM
+    ).collect()[0]
+    assert out.first_p == "42"
+    assert out.native_p == "7"

@@ -65,6 +65,45 @@ def test_forward_fill(series):
     assert got[(1, 2)] == 30.0          # real value untouched
 
 
+def test_sessionize_subsecond_boundaries(spark):
+    """Gap math must be exact at microsecond resolution: a 1800.5 s gap is a
+    boundary, a 1799.7 s gap is not.  Floored-second arithmetic calls both
+    1800/1799 and flips the first one."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0, 400000)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(seconds=1800.5)),    # > gap → new session
+        (1, t0 + timedelta(seconds=1800.5 + 1799.7)),  # ≤ gap → same session
+        (1, t0 + timedelta(seconds=1800.5 + 1799.7 + 1800.000001)),  # 1 µs over → new
+    ]
+    df = spark.createDataFrame(rows, "entity long, event_time timestamp")
+    out = sessionize(df, gap_seconds=1800)
+    got = [r.session_id for r in out.orderBy("event_time").collect()]
+    assert got == [0, 1, 1, 2]
+
+
+def test_rolling_range_subsecond_boundaries(spark):
+    """Exclusive trailing range frame at microsecond resolution: a row
+    exactly range_seconds before is IN the frame, one 0.2 s earlier is OUT,
+    and a row in the same second as the current row but earlier is IN
+    (floored-second math drops it)."""
+    from datetime import timedelta
+
+    t = datetime(2024, 1, 1, 1, 0, 0, 500000)
+    rows = [
+        (1, t - timedelta(seconds=60.2), 1.0),   # out: beyond 60 s
+        (1, t - timedelta(seconds=60.0), 2.0),   # in: exactly 60 s back
+        (1, t - timedelta(seconds=0.3), 4.0),    # in: same second as t
+        (1, t, 8.0),                              # current row: excluded
+    ]
+    df = spark.createDataFrame(rows, "entity long, event_time timestamp, value double")
+    out = rolling(df, {"s": ("value", "sum")}, range_seconds=60, include_current=False)
+    got = {r.event_time: r.s for r in out.collect()}
+    assert got[t] == 6.0  # 2.0 + 4.0
+
+
 def test_windows_share_one_shuffle(series):
     """sessionize uses two windows over the same partitioning+sort — the
     physical plan must contain exactly one Exchange for them."""
