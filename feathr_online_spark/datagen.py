@@ -38,12 +38,18 @@ BASE_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 F_VEC_DIM = 8
 
 
-def gen_sequences(n_rows: int, seed: int = SEED) -> pa.Table:
+def gen_sequences(n_rows: int, seed: int = SEED, hot_frac: float | None = None) -> pa.Table:
+    """``hot_frac``: override the Zipf head — force that fraction of all rows
+    onto doc/entity 0 (extreme-skew fixtures for the scaling experiments;
+    None keeps the default Zipf(1.3) head of ~25%)."""
     rng = np.random.default_rng(seed)
     # Zipf-skewed doc ids: a few hot documents repeat many times.
     n_docs = max(n_rows // 4, 1)
     ranks = rng.zipf(1.3, size=n_rows)
     doc_idx = np.minimum(ranks - 1, n_docs - 1).astype(np.int64)
+    if hot_frac is not None:
+        hot = rng.random(n_rows) < hot_frac
+        doc_idx = np.where(hot, 0, doc_idx)
     doc_id = np.char.add("doc", np.char.zfill(doc_idx.astype(str), 8))
 
     n_tok = rng.integers(1, 513, size=n_rows, dtype=np.int32)
@@ -93,19 +99,21 @@ def gen_features(n_rows: int, n_entities: int, seed: int = SEED + 1) -> pa.Table
     )
 
 
-def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None) -> dict[str, str]:
+def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None,
+                  hot_frac: float | None = None) -> dict[str, str]:
     """Write sequences/features parquet under ``out_dir``; returns paths.
-    Idempotent for a given (out_dir, sizes)."""
+    Idempotent for a given (out_dir, sizes, hot_frac)."""
     os.makedirs(out_dir, exist_ok=True)
     n_feat = n_feat if n_feat is not None else max(n_seq // 2, 8)
-    seq_path = os.path.join(out_dir, f"sequences_{n_seq}.parquet")
+    tag = f"_{n_seq}" + (f"_hot{int(hot_frac * 100)}" if hot_frac is not None else "")
+    seq_path = os.path.join(out_dir, f"sequences{tag}.parquet")
     feat_path = os.path.join(out_dir, f"features_{n_seq}.parquet")
     n_entities = max(n_seq * N_ENTITIES_PER_1K // 1000, 4)
     # 64k-row groups: a single-row-group file collapses Spark's scan to one
     # task regardless of spark.sql.files.maxPartitionBytes (splits can't cross
     # row-group boundaries) — this keeps the scan parallel.
     if not os.path.exists(seq_path):
-        pq.write_table(gen_sequences(n_seq), seq_path, row_group_size=65536)
+        pq.write_table(gen_sequences(n_seq, hot_frac=hot_frac), seq_path, row_group_size=65536)
     if not os.path.exists(feat_path):
         pq.write_table(gen_features(n_feat, n_entities), feat_path, row_group_size=65536)
     return {"sequences": seq_path, "features": feat_path}

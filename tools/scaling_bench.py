@@ -5,7 +5,10 @@ levels — local[8] and local[32] — in separate JVMs, and reports throughput a
 each plus scaling efficiency (T_32/T_8)/4.  Each JVM runs the job several
 times and takes the MIN (robust to this box's ±2× timing noise).
 
-Usage: python tools/scaling_bench.py [n_seq] [reps]
+Usage: python tools/scaling_bench.py [n_seq] [reps] [n_small] [n_big] [job]
+``job`` ∈ plain | bucketed (default plain) — bucketed runs the skew-proof
+fused path (bench.north_rule_job_bucketed), the one whose scaling the ≥0.8
+criterion is about.
 Prints one JSON line; also meant to be pasted into BENCH/BASELINE.md.
 """
 
@@ -22,11 +25,12 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from feathr_online_spark.session import get_spark
-from bench import north_rule_job
+from bench import north_rule_job, north_rule_job_bucketed
 
 spark = get_spark(app_name="scaling_bench")
 spark.sparkContext.setLogLevel("ERROR")
-df = north_rule_job(spark, {seq!r}, {feat!r})
+job = north_rule_job_bucketed if {job!r} == "bucketed" else north_rule_job
+df = job(spark, {seq!r}, {feat!r})
 n = df.count()
 times = []
 for _ in range({reps}):
@@ -37,9 +41,9 @@ print("RESULT " + json.dumps({{"rows": n, "times": times}}))
 """
 
 
-def run_at(cpus: int, seq: str, feat: str, reps: int) -> dict:
+def run_at(cpus: int, seq: str, feat: str, reps: int, job: str = "plain") -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = CHILD.format(repo=REPO, seq=seq, feat=feat, reps=reps)
+    code = CHILD.format(repo=REPO, seq=seq, feat=feat, reps=reps, job=job)
     out = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True,
                          text=True, timeout=1200)
     for line in out.stdout.splitlines():
@@ -53,15 +57,18 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    job = sys.argv[5] if len(sys.argv) > 5 else "plain"
+    hot_frac = float(sys.argv[6]) if len(sys.argv) > 6 else None
 
     sys.path.insert(0, REPO)
     from feathr_online_spark import datagen
 
-    fix = datagen.write_fixture(os.path.join(REPO, ".fixtures", "scaling"), n_seq=n_seq)
+    fix = datagen.write_fixture(os.path.join(REPO, ".fixtures", "scaling"), n_seq=n_seq,
+                                hot_frac=hot_frac)
 
     results = {}
     for cpus in (n_small, n_big):
-        r = run_at(cpus, fix["sequences"], fix["features"], reps)
+        r = run_at(cpus, fix["sequences"], fix["features"], reps, job)
         best = min(r["times"])
         results[cpus] = {
             "rows": r["rows"],
@@ -73,8 +80,9 @@ def main() -> None:
     ratio = n_big / n_small
     eff = (results[n_big]["rows_per_sec"] / results[n_small]["rows_per_sec"]) / ratio
     print(json.dumps({
-        "job": "north_rule asof+features",
+        "job": f"north_rule asof+features ({job})",
         "n_seq": n_seq,
+        **({"hot_frac": hot_frac} if hot_frac is not None else {}),
         f"local{n_small}": results[n_small],
         f"local{n_big}": results[n_big],
         "scaling_efficiency_n_to_4n": round(eff, 3),
