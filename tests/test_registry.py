@@ -74,3 +74,42 @@ def test_representative_semantics(spark):
     assert one(spark, fn("json_array_length")(F.lit("[1,2,3]"))) == 3
     assert one(spark, fn("bigint")(F.lit("42"))) == 42
     assert one(spark, fn("cot")(F.lit(1.0))) == pytest.approx(0.6420926159343306)
+
+
+def test_case_function_and_shuffle(spark):
+    """function-call case (case.rs:40-55 eval: (cond, val)... pairs + trailing
+    default) and shuffle (rand_functions::shuffle, mod.rs:335)."""
+    # first true condition wins
+    assert one(spark, fn("case")(F.lit(False), F.lit(1), F.lit(True), F.lit(2), F.lit(9))) == 2
+    # no condition true → default (odd trailing arg)
+    assert one(spark, fn("case")(F.lit(False), F.lit(1), F.lit(9))) == 9
+    # no condition true, no default → null
+    assert one(spark, fn("case")(F.lit(False), F.lit(1))) is None
+    # shuffle: a permutation of the input array
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    assert sorted(one(spark, fn("shuffle")(arr))) == [1, 2, 3, 4]
+
+
+def test_registry_name_parity_vs_reference():
+    """Every name the reference registers (function/mod.rs:49-437) resolves
+    here; the two previously-missing entries (shuffle, function-call case)
+    are covered above."""
+    from feathr_online_spark.functions.registry import names
+
+    have = set(names())
+    for name in ("shuffle", "case", "last_day", "next_day", "bucket",
+                 "distance", "split", "substring", "element_at", "slice",
+                 "get_json_array", "get_json_object", "mod", "div"):
+        assert name in have, name
+
+
+def test_substring_negative_length(spark):
+    """string_functions.rs:114-118: negative length slices up to
+    len(s)+length (from norm start)."""
+    import feathr_online_spark.functions as pf
+    # len=5; start=1, length=-1 → slice [1, 5-1) = 'ell'
+    assert one(spark, pf.substring0(F.lit("hello"), 1, -1)) == "ell"
+    # start=0, length=-2 → [0, 3) = 'hel'
+    assert one(spark, pf.substring0(F.lit("hello"), 0, -2)) == "hel"
+    # negative start + negative length: start=-3 → 2; len' = 5-1-2 = 2 → 'll'
+    assert one(spark, pf.substring0(F.lit("hello"), -3, -1)) == "ll"
