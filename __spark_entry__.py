@@ -503,6 +503,52 @@ FROM events
 """
 
 
+def q_bitwise_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitwise + map/object family coverage (SURVEY.md §2.2 bitwise,
+    §2.4 map; reference mod.rs bitwise ops + map_* entries)."""
+    from feathr_online_spark.functions.registry import fn as rfn
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("lo"), F.lit("hi")),
+        F.array((F.col("event_id") % 100).cast("long"), (F.col("event_id") % 7).cast("long")),
+    )
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("b_and"),
+        F.col("event_id").bitwiseOR(F.lit(255)).alias("b_or"),
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("b_xor"),
+        rfn("shiftleft")(F.col("event_id"), 2).alias("shl"),
+        rfn("shiftright")(F.col("event_id"), 2).alias("shr"),
+        rfn("bit_count")(F.col("event_id")).alias("nbits"),
+        rfn("bit_get")(F.col("event_id"), F.lit(3)).cast("long").alias("bit3"),
+        rfn("map_contains_key")(m, F.lit("lo")).alias("has_lo"),
+        F.array_join(rfn("map_keys")(m), ",").alias("mkeys"),
+        F.array_join(F.transform(rfn("map_values")(m), lambda x: x.cast("string")), ",").alias("mvals"),
+    )
+
+
+ORACLE_BITWISE_MAP_FUNCS = """
+WITH t AS (
+  SELECT event_id,
+         MAP {'lo': CAST(event_id % 100 AS BIGINT), 'hi': CAST(event_id % 7 AS BIGINT)} AS m
+  FROM events
+)
+SELECT event_id,
+       event_id & 255 AS b_and,
+       event_id | 255 AS b_or,
+       xor(event_id, 255) AS b_xor,
+       event_id << 2 AS shl,
+       event_id >> 2 AS shr,
+       CAST(bit_count(event_id::BIGINT) AS INT) AS nbits,
+       CAST((event_id >> 3) & 1 AS BIGINT) AS bit3,
+       list_contains(map_keys(m), 'lo') AS has_lo,
+       array_to_string(map_keys(m), ',') AS mkeys,
+       array_to_string(map_values(m), ',') AS mvals
+FROM t
+"""
+
+
 def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregation registry coverage (SURVEY.md §2.3) by event_type."""
     from feathr_online_spark.functions.aggregations import agg_fn
@@ -1180,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "json_regexp_funcs": q_json_regexp_funcs,
         "conditional_funcs": q_conditional_funcs,
+        "bitwise_map_funcs": q_bitwise_map_funcs,
         "agg_funcs": q_agg_funcs,
         "lag_lead_ffill": q_lag_lead_ffill,
         "asof_cogroup": q_asof_cogroup,
@@ -1224,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "array_funcs": ORACLE_ARRAY_FUNCS,
         "json_regexp_funcs": ORACLE_JSON_REGEXP_FUNCS,
         "conditional_funcs": ORACLE_CONDITIONAL_FUNCS,
+        "bitwise_map_funcs": ORACLE_BITWISE_MAP_FUNCS,
         "agg_funcs": ORACLE_AGG_FUNCS,
         "lag_lead_ffill": ORACLE_LAG_LEAD_FFILL,
         "asof_cogroup": ORACLE_ASOF_PURCHASE,

@@ -44,6 +44,151 @@ def stream_windowed_features(
     )
 
 
+def stream_forward_fill(
+    events: DataFrame,
+    cols: list[str],
+    on: str = "entity",
+    ts: str = "event_time",
+) -> DataFrame:
+    """Cross-micro-batch forward-fill: the streaming face of
+    operators.windows.forward_fill, built on ``applyInPandasWithState``
+    (the custom-stateful-operator escape hatch the batch engine reserves for
+    semantics Spark's built-ins can't express in a stream).
+
+    Per entity, the GroupState carries the last non-null value of each column
+    seen in ANY earlier micro-batch; within a batch rows sort by event time
+    and fill vectorized (pandas ``ffill``).  State size is O(entities ×
+    len(cols)) — bytes per key, not rows.  Caveat inherent to streaming
+    ffill: rows arriving across batches out of event-time order fill from
+    the state's latest value, not a global sort (the watermark bounds that
+    skew; exact retrospective backfill is the batch operator's job).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    out_schema = events.schema
+    state_schema = StructType([events.schema[c] for c in cols])
+    ncols = list(cols)
+
+    def fill(key, pdfs, state):
+        last = list(state.get) if state.exists else [None] * len(ncols)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            for i, c in enumerate(ncols):
+                s = pdf[c].ffill()
+                if last[i] is not None:
+                    s = s.fillna(last[i])
+                pdf[c] = s
+                nn = s.dropna()
+                if len(nn):
+                    last[i] = nn.iloc[-1]
+            yield pdf
+        state.update(tuple(last))
+
+    return events.groupBy(on).applyInPandasWithState(
+        fill, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_asof_enrich(
+    events: DataFrame,
+    features: DataFrame,
+    on: str = "entity",
+    left_ts: str = "event_time",
+    right_ts: str = "feature_time",
+    strict: bool = True,
+) -> DataFrame:
+    """Streaming point-in-time enrichment — the online-serving semantics the
+    reference's request path implements (lookup the freshest feature per
+    entity), expressed as ONE stateful streaming operator with the batch
+    engine's leakage rule: each event attaches the latest feature row with
+    ``right_ts < left_ts`` (strict).
+
+    Construction: both streams are tagged and unioned (same trick as the
+    batch union strategy, operators/asof.py), grouped by entity through
+    ``applyInPandasWithState``.  Within a micro-batch the merge is
+    ``pandas.merge_asof`` (vectorized C); across batches the GroupState
+    carries the entity's latest feature row, seeded into the next batch's
+    merge as a −∞ sentinel.  State is O(entities × payload width).
+
+    Caveat: events and features that arrive out of event-time order ACROSS
+    micro-batches see the state's view, not a global re-sort — the inherent
+    streaming relaxation; the batch as-of join is the exact retrospective
+    path.
+    """
+    import pandas as pd  # executors
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    payload = [c for c in features.columns if c not in (on, right_ts)]
+    event_cols = [c for c in events.columns if c not in (on, left_ts)]
+    overlap = set(payload) & set(events.columns)
+    if overlap:
+        raise ValueError(f"stream_asof_enrich: column collision {sorted(overlap)}")
+
+    tagged_events = events.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(0).alias("__tag"),
+        *[F.col(c) for c in event_cols],
+        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
+    )
+    tagged_feats = features.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
+        *[F.col(c) for c in payload],
+    )
+    un = tagged_events.unionByName(tagged_feats)
+
+    out_schema = StructType(
+        [events.schema[on], StructField(left_ts, events.schema[left_ts].dataType)]
+        + [events.schema[c] for c in event_cols]
+        + [features.schema[c] for c in payload]
+    )
+    # state: latest feature (ts in unix micros, payload values)
+    state_schema = StructType(
+        [StructField("__ts_us", LongType())] + [features.schema[c] for c in payload]
+    )
+    allow_exact = not strict
+
+    def merge(key, pdfs, state):
+        last = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts", "__tag"], kind="mergesort")
+            ev = pdf[pdf["__tag"] == 0]
+            ft = pdf[pdf["__tag"] == 1][["__ts"] + payload]
+            if last is not None and last[0] is not None:
+                seed = pd.DataFrame(
+                    [[pd.Timestamp(last[0], unit="us")] + list(last[1:])],
+                    columns=["__ts"] + payload,
+                )
+                # re-sort: the carried state row may postdate out-of-order
+                # arrivals in this batch, and merge_asof demands sorted keys
+                ft = pd.concat([seed, ft], ignore_index=True).sort_values(
+                    "__ts", kind="mergesort"
+                )
+            if len(ft):
+                newest = ft.iloc[-1]
+                last = [int(newest["__ts"].value // 1000)] + [newest[c] for c in payload]
+            if len(ev):
+                ev = ev[[on, "__ts"] + event_cols]
+                if len(ft):
+                    merged = pd.merge_asof(
+                        ev, ft, on="__ts",
+                        allow_exact_matches=allow_exact, direction="backward",
+                    )
+                else:
+                    merged = ev.copy()
+                    for c in payload:
+                        merged[c] = None
+                merged = merged.rename(columns={"__ts": left_ts})
+                yield merged[[on, left_ts] + event_cols + payload]
+        if last is not None:
+            state.update(tuple(last))
+
+    return un.groupBy(on).applyInPandasWithState(
+        merge, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     aggs: dict[str, Column],

@@ -64,3 +64,89 @@ def test_stream_sessionize(spark, stream_input):
     # entity 1: two sessions (minutes 0-2 and 40-41); entity 2: one session
     assert sorted(by_entity[1]) == [2, 3]
     assert by_entity[2] == [1]
+
+
+def test_stream_forward_fill_across_batches(spark, tmp_path):
+    """applyInPandasWithState forward-fill: the second micro-batch's leading
+    null must fill from state carried out of the FIRST batch."""
+    import time as _time
+
+    from feathr_online_spark.streaming.pit import stream_forward_fill
+
+    path = tmp_path / "ffin"
+    path.mkdir()
+    schema = "entity long, event_time timestamp, value double"
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), 10.0),
+         (1, datetime(2024, 1, 1, 0, 1), None)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 2), None),        # fills from batch 1's 10.0
+         (1, datetime(2024, 1, 1, 0, 3), 30.0),
+         (2, datetime(2024, 1, 1, 0, 0), None)],       # no history → stays null
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(path / "b1"))
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    b2.coalesce(1).write.parquet(str(path / "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path / "*"))
+    )
+    out = stream_forward_fill(stream, ["value"])
+    q = (
+        out.writeStream.format("memory").queryName("ff_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.entity, r.event_time.minute): r.value
+           for r in spark.sql("select * from ff_t").collect()}
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] == 10.0          # filled within batch 1
+    assert got[(1, 2)] == 10.0          # filled ACROSS batches from state
+    assert got[(1, 3)] == 30.0
+    assert got[(2, 0)] is None
+
+
+def test_stream_asof_enrich(spark, tmp_path):
+    """Streaming PIT: events enrich with the latest strictly-earlier feature,
+    including features carried in state from a PREVIOUS micro-batch."""
+    import time as _time
+
+    from feathr_online_spark.streaming.pit import stream_asof_enrich
+
+    eroot, froot = tmp_path / "ev", tmp_path / "ft"
+    eroot.mkdir(); froot.mkdir()
+    eschema = "entity long, event_time timestamp, eid string"
+    fschema = "entity long, feature_time timestamp, f double"
+
+    # batch 1: one feature at 00:00, one event at 00:05
+    spark.createDataFrame([(1, datetime(2024, 1, 1, 0, 0), 1.0)], fschema) \
+        .coalesce(1).write.parquet(str(froot / "b1"))
+    spark.createDataFrame([(1, datetime(2024, 1, 1, 0, 5), "e1")], eschema) \
+        .coalesce(1).write.parquet(str(eroot / "b1"))
+    _time.sleep(1.1)
+    # batch 2: event at 00:10 must see batch-1's feature FROM STATE; a
+    # feature AT 00:10 must NOT leak into the same-timestamp event (strict <)
+    spark.createDataFrame([(1, datetime(2024, 1, 1, 0, 10), 2.0),
+                           (2, datetime(2024, 1, 1, 0, 1), 9.0)], fschema) \
+        .coalesce(1).write.parquet(str(froot / "b2"))
+    spark.createDataFrame([(1, datetime(2024, 1, 1, 0, 10), "e2"),
+                           (2, datetime(2024, 1, 1, 0, 0), "e3")], eschema) \
+        .coalesce(1).write.parquet(str(eroot / "b2"))
+
+    ev = (spark.readStream.schema(spark.createDataFrame([], eschema).schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(eroot / "*")))
+    ft = (spark.readStream.schema(spark.createDataFrame([], fschema).schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(froot / "*")))
+    out = stream_asof_enrich(ev, ft, strict=True)
+    q = (out.writeStream.format("memory").queryName("pit_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.eid: r.f for r in spark.sql("select * from pit_t").collect()}
+    assert got["e1"] == 1.0          # same-batch feature
+    assert got["e2"] == 1.0          # cross-batch via state; 00:10 tie excluded (strict)
+    assert got["e3"] is None         # entity 2: feature is later than the event
