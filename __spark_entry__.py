@@ -1125,6 +1125,104 @@ SELECT event_id, user_id, event_type AS etype, round(value, 4) AS amount FROM ev
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark decontamination: per-train-doc count of word-3-gram shingles
+    shared with the eval slice (doc_id % 10 == 0), plus the drop flag."""
+    from feathr_online_spark.operators.dedup import contamination_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_stats(train, evalset, "text", "doc_id", n=3, min_overlap=2)
+
+
+ORACLE_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [] END AS sg
+  FROM w
+), ev AS (
+  SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id % 10 = 0
+), tr AS (
+  SELECT doc_id, sg FROM sh WHERE doc_id % 10 != 0
+), hit AS (
+  SELECT doc_id, count(*) AS n_cont
+  FROM (SELECT doc_id, unnest(sg) AS s FROM tr)
+  WHERE s IN (SELECT s FROM ev)
+  GROUP BY doc_id
+)
+SELECT tr.doc_id AS id,
+       CAST(len(tr.sg) AS INT) AS n_shingles,
+       coalesce(hit.n_cont, 0) AS n_contaminated,
+       coalesce(hit.n_cont, 0) >= 2 AS contaminated
+FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+"""
+
+
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the end-to-end corpus-prep composition: English + quality_bp ≥ 6500 +
+    exact-dedup survivor (min doc_id per normalized-content group)."""
+    from feathr_online_spark.operators.prep import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_corpus(docs, "text", "doc_id", langs=("en",), min_quality_bp=6500)
+    return out.select("doc_id", "lang_pred", "quality_bp")
+
+
+ORACLE_PREPARE_CORPUS = """
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws, text FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','von'], x))) AS s_de,
+    len(list_filter(ws, x -> list_contains(['el','la','los','que','y','es','en','un','una','por'], x))) AS s_es,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM s
+), p AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM sc
+), q AS (
+  SELECT doc_id, text,
+         length(text)::BIGINT AS n_chars,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+                                 'for','on','with','as','by','at','it','that','this','be'], lower(x))))::BIGINT AS n_stop
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         floor((least(n_words * 200, 10000) * 4
+                + least(floor(n_stop * 10000 / n_words) * 5, 10000) * 3
+                + greatest(0, 10000 - floor(n_punct * 10000 / n_chars) * 3
+                              - floor(n_digit * 10000 / n_chars) * 2) * 3) / 10)::BIGINT AS quality_bp
+  FROM q
+), kept AS (
+  SELECT d.doc_id, d.text, p.lang_pred, b.quality_bp
+  FROM documents d JOIN p USING (doc_id) JOIN b USING (doc_id)
+  WHERE p.lang_pred = 'en' AND b.quality_bp >= 6500
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM kept
+  GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+)
+SELECT k.doc_id, k.lang_pred, k.quality_bp FROM kept k JOIN surv USING (doc_id)
+"""
+
+
 def q_lookup_callable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python-callable lookup source (reference python/src/lib.rs:56-158):
     a deterministic pure function served through the mapInPandas-batched
@@ -1251,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_rename_remove": q_project_rename_remove,
         "dedup_clusters": q_dedup_clusters,
         "lookup_callable": q_lookup_callable,
+        "decontaminate": q_decontaminate,
+        "prepare_corpus": q_prepare_corpus,
     }
 
 
@@ -1295,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         "project_rename_remove": ORACLE_PROJECT_RENAME_REMOVE,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "lookup_callable": ORACLE_LOOKUP_CALLABLE,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "prepare_corpus": ORACLE_PREPARE_CORPUS,
         # dedup_simhash, multimodal: intentionally no oracle (engine-specific
         # hashing / binary+UDF) → driver rows-only check
     }

@@ -337,6 +337,69 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_stats(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Per-train-document contamination against an eval corpus: the number of
+    distinct word-n-gram shingles the document shares with ANY eval document
+    — the standard benchmark-decontamination primitive for training-data
+    pipelines (flag/drop train docs that leak eval content).
+
+    Returns (id, n_shingles, n_contaminated, contaminated) where
+    ``contaminated = n_contaminated >= min_overlap``.
+
+    Scale shape: the eval shingle set is deduplicated FIRST (one distinct of
+    hashed longs — eval sets are small relative to the corpus) and the train
+    side probes it with a semi-join per exploded shingle; the shuffle carries
+    only (doc id, shingle hash) pairs, and Catalyst/AQE broadcasts the eval
+    set when it fits.  Never an all-pairs document comparison.
+    """
+    tr = with_shingle_hashes(_widen(train), text_col, n).select(
+        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("n_shingles")
+    )
+    ev_sh = (
+        with_shingle_hashes(evalset, text_col, n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    probes = tr.select("id", F.explode("shingles").alias("s"))
+    hits = probes.join(ev_sh, "s", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        tr.select("id", "n_shingles")
+        .join(hits, "id", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn("contaminated", F.col("n_contaminated") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Drop contaminated training documents (see contamination_stats)."""
+    bad = (
+        contamination_stats(train, evalset, text_col, id_col, n, min_overlap)
+        .filter(F.col("contaminated"))
+        .select(F.col("id").alias(id_col))
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -106,3 +106,45 @@ def test_simhash_pairs(docs):
     assert got[(1, 4)] <= 6
     # unrelated doc must not pair with anything
     assert not any(5 in p for p in got)
+
+
+def test_contamination_stats_and_decontaminate(spark):
+    from feathr_online_spark.operators.dedup import contamination_stats, decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely unrelated content here"),
+         (3, "short doc")],                      # < 3 words after split? 2 words → no shingles
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    stats = {r.id: (r.n_contaminated, r.contaminated)
+             for r in contamination_stats(train, evalset, "text", "doc_id").collect()}
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps' with the eval doc
+    assert stats[1][0] >= 2 and stats[1][1]
+    assert stats[2] == (0, False)
+    assert stats[3] == (0, False)                # shingle-less doc kept, not dropped
+    out = decontaminate(train, evalset, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+
+def test_prepare_corpus_composition(spark):
+    from feathr_online_spark.operators.dedup import ngram_jaccard_pairs
+    from feathr_online_spark.operators.prep import prepare_corpus
+
+    base = ("the cat sat on the mat and it was a good day for sitting on mats "
+            "with a cat that sat")
+    docs = spark.createDataFrame(
+        [(1, base),                          # survivor of the near-dup pair
+         (2, base + " indeed"),              # near-dup of 1 → dropped
+         (3, base),                          # exact dup of 1 → dropped
+         (4, "der hund ist nicht mit der katze und das ist gut so ja")],  # German → dropped
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    out = prepare_corpus(docs, "text", "doc_id", langs=("en",),
+                         min_quality_bp=0, near_dup_pairs=pairs)
+    assert sorted(r.doc_id for r in out.collect()) == [1]
