@@ -441,7 +441,9 @@ class ExprCompiler:
                 first, _ = self.compile(ast[2][0])
                 base = F.to_timestamp(first, P.strftime_to_java(ast[2][1][1]))
                 if name.lower() == "timestamp":
-                    return base, "datetime"
+                    # reference timestamp() yields DOUBLE epoch seconds
+                    # (timestamp.rs get_output_type → ValueType::Double)
+                    return F.unix_timestamp(base).cast("double"), "double"
                 return F.unix_timestamp(base), "long"
             # Literal args are passed as python natives: several Spark
             # functions demand plain str/int for patterns, paths and counts

@@ -102,11 +102,15 @@ def _case_fn(*args):
     return expr.otherwise(default) if default is not None else expr
 
 
-def _timestamp(x, fmt=None):
-    """Reference `timestamp(str[, fmt])` with chrono format (timestamp.rs)."""
-    if fmt is None:
-        return F.to_timestamp(x)
-    return P.timestamp_strftime(x, fmt)
+def _timestamp(x, fmt=None, tz=None):
+    """Reference ``timestamp(str[, fmt[, tz]])`` (timestamp.rs:14-110):
+    parses with a chrono format (default ``%Y-%m-%d %H:%M:%S``), interprets
+    the wall time in ``tz`` (default UTC), and returns the epoch as a
+    DOUBLE of whole seconds (chrono ``.timestamp()`` floors)."""
+    t = F.to_timestamp(x) if fmt is None else P.timestamp_strftime(x, fmt)
+    if tz is not None:
+        t = F.to_utc_timestamp(t, tz)
+    return F.unix_timestamp(t).cast("double")
 
 
 def _piper_len(x):

@@ -215,3 +215,37 @@ def test_asof_feature_vectors_allclose_vs_pandas_reference(spark):
         # per-row invariant: token arrays pass through byte-identical
         assert got_tokens[eid] == tokens[eid]
     assert n_matched > 200  # the comparison actually exercised real matches
+
+
+def test_scalar_function_golden_vectors(spark):
+    """Golden vectors lifted from the reference's own unit tests:
+    string_functions.rs (substring, split, substring_index),
+    misc_functions.rs (abs, ascii, concat_ws), bucket.rs, timestamp.rs."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    # string_functions.rs test_substring (0-based, negative-from-end)
+    assert one(fn("substring")(F.lit("www.apache.org"), 4, 6)) == "apache"
+    assert one(fn("substring")(F.lit("www.apache.org"), -3, 3)) == "org"
+    # string_functions.rs test_split (literal delimiter)
+    assert one(fn("split")(F.lit("a_b"), "_")) == ["a", "b"]
+    # string_functions.rs test_substring_index vectors
+    six = fn("substring_index")
+    for count, want in [(2, "www.apache"), (3, "www.apache.org"), (4, "www.apache.org"),
+                        (-1, "org"), (-2, "apache.org"), (-3, "www.apache.org"),
+                        (-4, "www.apache.org"), (0, ""), (1, "www")]:
+        assert one(six(F.lit("www.apache.org"), ".", count)) == want, count
+    # misc_functions.rs test_abs / test_ascii / test_concat_ws
+    assert one(fn("abs")(F.lit(-1))) == 1
+    assert one(fn("ascii")(F.lit("a"))) == 97
+    assert one(fn("concat_ws")("_", F.lit("a"), F.lit("b"), F.lit("c"))) == "a_b_c"
+    # bucket.rs test_bucket_type: bucket(0.5, 0, 1, 2, 3) = 1
+    assert one(fn("bucket")(F.lit(0.5), 0.0, 1.0, 2.0, 3.0)) == 1
+    # timestamp.rs test_timestamp: double epoch seconds, default + custom
+    # format + timezone (local wall time in tz → UTC epoch)
+    assert one(fn("timestamp")(F.lit("2020-01-01 00:00:00"))) == 1577836800.0
+    assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d")) == 1577836800.0
+    assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d",
+                               "Asia/Shanghai")) == 1577836800.0 - 8 * 3600
