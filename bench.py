@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ", "1000000"))
+# this box's warm-run variance is ±2-3× (BENCH/BASELINE.md); min-of-N per
+# query is the documented protocol for every number we publish
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def north_rule_job(spark, seq_path: str, feat_path: str):
@@ -122,10 +125,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        run_full(df)
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(N_REPS, 1)):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            run_full(df)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # north-rule throughput: as-of + derivation over N_SEQ synthesized rows
     fix = datagen.write_fixture(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -146,6 +153,7 @@ def main() -> None:
         "asof_rows": n_out,
         "asof_seq_per_sec": seq_per_sec,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "reps": max(N_REPS, 1),
     }))
 
 
