@@ -193,3 +193,21 @@ def test_dynamic_comparison_and_where(spark):
     rows = [{"a": 5, "s": "x"}, {"a": 50, "s": "y"}, {"a": 500, "s": "z"}]
     got = sorted(r.label for r in p.run(spark, rows).collect())
     assert got == ["big", "small"]
+
+
+def test_parser_accepts_reference_grammar_vectors():
+    """Parse-acceptance vectors from the reference's own parser tests
+    (dsl_parser.rs:365-421): comments, chained dot/index postfixes, the full
+    operator soup, and parenthesized case clauses must all tokenize+parse."""
+    from feathr_online_spark.dsl import Parser, tokenize
+
+    vectors = [
+        "1 #2222\n        #dasdfasdf\n        +1",                      # test_parse_comments
+        'a + b.x.y + f.a.b.c[12] + "ddd\\t"',                           # test_parse1
+        "(f(12)+a[2] + x.y.z[78] -b)[12] [34][56]",                     # test_array_index
+        "case when (a > 1) then (2) when a>2 then 2 else 4 end",        # test_case_clause
+        "1+2-3*4/5%6 div 7",                                            # test_operators core
+    ]
+    for src in vectors:
+        ast = Parser(tokenize(src)).expr()
+        assert ast is not None, src

@@ -80,3 +80,64 @@ def test_get_json_object_fallback_spark(spark):
     ).collect()[0]
     assert out.first_p == "42"
     assert out.native_p == "7"
+
+
+# -- hypothesis property tests (pure Python — no Spark per example) -----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _scalar = st.one_of(st.integers(-100, 100), st.text(max_size=5), st.booleans())
+    _doc = st.recursive(
+        _scalar,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.from_regex(r"[a-z]{1,3}", fullmatch=True), inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @given(_doc, st.from_regex(r"[a-z]{1,3}", fullmatch=True))
+    @settings(max_examples=100, deadline=None)
+    def test_field_access_matches_direct(doc, key):
+        """$.key == the dict's value exactly when present (field step)."""
+        got = sel(doc, f"$.{key}")
+        if isinstance(doc, dict) and key in doc:
+            assert got == [doc[key]]
+        else:
+            assert got == []
+
+    @given(_doc, st.from_regex(r"[a-z]{1,3}", fullmatch=True))
+    @settings(max_examples=100, deadline=None)
+    def test_recursive_descent_superset_of_field(doc, key):
+        """$..key finds at least everything $.key finds, and exactly the
+        number of dicts (at any depth) carrying the key."""
+        direct = sel(doc, f"$.{key}")
+        rec = sel(doc, f"$..{key}")
+        for v in direct:
+            assert v in rec
+
+        def count(o):
+            n = 0
+            if isinstance(o, dict):
+                n += 1 if key in o else 0
+                n += sum(count(v) for v in o.values())
+            elif isinstance(o, list):
+                n += sum(count(v) for v in o)
+            return n
+
+        assert len(rec) == count(doc)
+
+    @given(st.lists(_scalar, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_index_and_slice_match_python(arr):
+        """[n] and [a:b] follow python list semantics; [*] is identity."""
+        assert sel(arr, "$[*]") == list(arr)
+        for i in range(-len(arr) - 1, len(arr) + 1):
+            want = [arr[i]] if -len(arr) <= i < len(arr) else []
+            assert sel(arr, f"$[{i}]") == want
+        assert sel(arr, "$[1:3]") == arr[1:3]
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
