@@ -252,9 +252,11 @@ def pit_fused_bucketed(
     """The skew-proof composite, fused: strict-`<` as-of join, forward-fill of
     event columns and a time-range trailing aggregate all computed over ONE
     (entity, bucket) shuffle+sort of the tagged event∪feature∪context stream,
-    repaired by ONE tiny summary/carry join.  Gap sessionization (lag-based,
-    so it can't share value-based frames) runs as its own bucketed pass on
-    the result.
+    repaired by ONE tiny summary/carry join.  Gap sessionization is FUSED
+    into the same sort too: the raw ordinal is a conditional running sum
+    whose "previous event" comes from a (unboundedPreceding, -1) frame, and
+    the cross-bucket repair rides the summary pass — so adding sessions
+    costs zero extra big-data shuffles.
 
     Why fusion matters: the single-operator bucketed variants each pay their
     own shuffle + summary join; composed naively that is 4× the stage walls
@@ -358,6 +360,29 @@ def pit_fused_bucketed(
                 F.when(F.col("__tag") == event_tag, F.col(rolling_spec["col"]))
             ).over(w_roll).alias(rolling_spec["name"])
         )
+    is_event = (F.col("__tag") == event_tag) & (F.col("__ctx") == 0)
+    if session_gap:
+        # FUSED sessionization: the within-bucket raw ordinal rides the same
+        # (entity, bucket) sort as every other frame — no second big-data
+        # shuffle.  "Previous event's timestamp" is a conditional last() over
+        # (unboundedPreceding, -1): feature and context rows contribute
+        # nothing, so the gap check sees only the bucket's real events.
+        w_prev = (
+            Window.partitionBy(on, "__bkt")
+            .orderBy("__ts", "__tag", "__tb", "__ctx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_ev_us = F.last(
+            F.when(is_event, F.unix_micros(F.col("__ts"))), ignorenulls=True
+        ).over(w_prev)
+        is_new = F.when(
+            is_event,
+            (
+                prev_ev_us.isNull()
+                | (F.unix_micros(F.col("__ts")) - prev_ev_us > F.lit(session_gap) * 1_000_000)
+            ).cast("long"),
+        )
+        cols.append(F.sum(is_new).over(w_last).alias("__s_raw"))
     within = aug.select(*cols)
 
     # ---- tiny summary/carry pass (features + ffill sources per bucket) ----
@@ -385,9 +410,57 @@ def pit_fused_bucketed(
         )
     )
 
+    kept = within.filter(is_event).join(carry, [on, "__bkt"])
+
+    if session_gap:
+        # cross-bucket session repair on a TINY per-(entity, event-bucket)
+        # summary (same scheme as sessionize_bucketed): re-check the bucket's
+        # first-event gap against the previous event-bucket's last timestamp
+        # and prefix-sum corrected session counts into offsets.  The groupBy
+        # keys equal the window partitioning (map-side combinable), so the
+        # repair adds no shuffle OF THE OUTPUT — unlike the old follow-up
+        # sessionize_bucketed pass, which re-bucketed and re-sorted every
+        # output row (measured 3.5 s → 2.2 s at sf0.1).
+        raw_counts = (
+            within.filter(is_event)
+            .groupBy(on, "__bkt")
+            .agg(
+                F.max("__s_raw").alias("__raw_news"),
+                F.min("__ts").alias("__first_ts"),
+                F.max("__ts").alias("__last_ts"),
+            )
+        )
+        w_prev_b = Window.partitionBy(on).orderBy("__bkt")
+        summ = (
+            raw_counts
+            .withColumn("__prev_last", F.lag("__last_ts").over(w_prev_b))
+            .withColumn(
+                "__adjust",
+                F.when(
+                    F.col("__prev_last").isNotNull()
+                    & (
+                        F.unix_micros("__first_ts") - F.unix_micros("__prev_last")
+                        <= F.lit(session_gap) * 1_000_000
+                    ),
+                    F.lit(-1),
+                ).otherwise(F.lit(0)).cast("long"),
+            )
+            .withColumn(
+                "__offset",
+                F.coalesce(
+                    F.sum(F.col("__raw_news") + F.col("__adjust")).over(
+                        Window.partitionBy(on).orderBy("__bkt")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select(on, "__bkt", "__adjust", "__offset")
+        )
+        kept = kept.join(summ, [on, "__bkt"])
+
     out = (
-        within.filter((F.col("__tag") == event_tag) & (F.col("__ctx") == 0))
-        .join(carry, [on, "__bkt"])
+        kept
         .withColumn("__pl2", F.coalesce(F.col("__in_pl"), F.col("__carry_pl")))
         .select(
             F.col(on), F.col("__ts").alias(left_ts),
@@ -395,11 +468,11 @@ def pit_fused_bucketed(
             *[F.coalesce(F.col(f"__in_f_{c}"), F.col(f"__carry_f_{c}")).alias(c) for c in ffill_cols],
             *[F.col("__pl2").getField(c).alias(c) for c in payload],
             *([rolling_spec["name"]] if rolling_spec else []),
+            *([
+                (F.col("__offset") + F.col("__s_raw") + F.col("__adjust") - 1).alias("session_id")
+            ] if session_gap else []),
         )
     )
-    if session_gap:
-        out = sessionize_bucketed(out, session_gap, on=on, ts=left_ts,
-                                  bucket_seconds=bucket_seconds)
     return out
 
 
