@@ -810,6 +810,103 @@ FROM roll
 """
 
 
+def q_rolling_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew-proof time-range rolling (exact unconditionally in range mode) —
+    same oracle as the plain rolling verb."""
+    from feathr_online_spark.operators.skew import rolling_bucketed
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"), F.col("ts").alias("event_time"),
+        "event_id", "value",
+    )
+    out = rolling_bucketed(ev, {"hist_sum": ("value", "sum"), "hist_n": ("value", "count")},
+                           range_seconds=3600, include_current=False, bucket_seconds=86400)
+    return out.select(
+        "event_id",
+        F.col("entity").alias("user_id"),
+        F.round(F.coalesce(F.col("hist_sum"), F.lit(0.0)), 4).alias("hist_sum"),
+        F.col("hist_n").cast("long").alias("hist_n"),
+    )
+
+
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the hot/cold planner: entities above the threshold run the bucketed
+    decomposition, the rest the fused plain path, results unioned — exact
+    either way, so one oracle covers both branches (threshold 50 puts the
+    heavy users on the bucketed branch at sf0.01)."""
+    from feathr_online_spark.operators.pit import pit_enrich
+
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("event_time"),
+        "event_id",
+        F.when(F.col("value") > 20, F.round("value", 4)).alias("v"),
+    )
+    feat = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
+        .agg(F.round(F.sum("value"), 4).alias("pv"))
+    )
+    out = pit_enrich(left, feat, strict=True, session_gap=1800, ffill_cols=["v"],
+                     hot_threshold=50, bucket_seconds=86400)
+    return out.select(
+        "event_id", F.col("entity").alias("user_id"),
+        F.unix_micros("event_time").alias("ts_us"),
+        F.col("v").alias("v_filled"), "pv", "session_id",
+    )
+
+
+ORACLE_PIT_ENRICH = """
+WITH lev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > 20 THEN round(value, 4) END AS v
+  FROM events WHERE event_type IN ('click', 'view')
+), feat AS (
+  SELECT user_id, ts, round(sum(value), 4) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), pit AS (
+  SELECT lev.*, f.pv
+  FROM lev LEFT JOIN LATERAL (
+    SELECT pv FROM feat WHERE feat.user_id = lev.user_id AND feat.ts < lev.ts
+    ORDER BY feat.ts DESC LIMIT 1
+  ) f ON TRUE
+), roll AS (
+  SELECT *,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM pit
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, v_filled, pv,
+       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
+FROM roll
+"""
+
+
+def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the UDF surface under the gate: a VECTORIZED (pandas) user function
+    registered by name (reference python/src/lib.rs:399-461 semantics),
+    resolved through the registry like any built-in."""
+    from feathr_online_spark.functions.registry import fn as rfn, register_udf, unregister_udf
+
+    unregister_udf("gate_affine")   # idempotent across bench reps
+    register_udf("gate_affine", lambda s: s * 2.0 + 1.0, "double")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(rfn("gate_affine")(F.col("value")), 4).alias("v_affine"),
+    )
+
+
+ORACLE_REGISTERED_UDF = """
+SELECT event_id, round(value * 2.0 + 1.0, 4) AS v_affine FROM events
+"""
+
+
 def q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient validation (piper convert_to semantics): coerce a mixed-type
     projection to a target schema; failed cells null out with _err_ markers;
@@ -1332,7 +1429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation": q_validation,
         "asof_bucketed": q_asof_bucketed,
         "sessionize_bucketed": q_sessionize_bucketed,
+        "rolling_bucketed": q_rolling_bucketed,
         "pit_fused": q_pit_fused,
+        "pit_enrich": q_pit_enrich,
+        "registered_udf": q_registered_udf,
         "sketches": q_sketches,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -1379,7 +1479,10 @@ def oracle_sql() -> dict[str, str]:
         "validation": ORACLE_VALIDATION,
         "asof_bucketed": ORACLE_ASOF_PURCHASE,
         "sessionize_bucketed": ORACLE_SESSIONIZE,
+        "rolling_bucketed": ORACLE_ROLLING,
         "pit_fused": ORACLE_PIT_FUSED,
+        "pit_enrich": ORACLE_PIT_ENRICH,
+        "registered_udf": ORACLE_REGISTERED_UDF,
         # sketches: intentionally no oracle (sketch estimates are
         # engine-specific; pytest asserts accuracy vs exact counts)
         "dedup_exact": ORACLE_DEDUP_EXACT,
