@@ -225,7 +225,12 @@ class Parser:
         if t.kind == "id":
             low = t.text.lower()
             if low == "case":
-                return self._case()
+                # `case when ... end` is syntax; `case(cond, val, ...)` is the
+                # function-call form (reference registers BOTH: dsl_parser.rs
+                # case_clause + CaseFunction at function/mod.rs:431)
+                nxt = self.peek(1)
+                if nxt is None or nxt.text != "(":
+                    return self._case()
             if low in ("true", "false"):
                 self.take()
                 return ("bool", low == "true")
@@ -398,6 +403,21 @@ class ExprCompiler:
                 if ta == "string" or tb == "string":
                     return F.concat(_dyn_as(a, ta, "text").cast("string"),
                                     _dyn_as(b, tb, "text").cast("string")), "string"
+                if ta == "dynamic" and tb == "dynamic":
+                    # runtime dispatch like the reference Value model
+                    # (math_op.rs:82): numeric add when both payloads are
+                    # numbers, string concat otherwise.  One Spark column =
+                    # one type, so the result is a string; integral sums
+                    # render without the trailing '.0'.
+                    at, bt = _dyn_text(a), _dyn_text(b)
+                    an, bn = at.cast("double"), bt.cast("double")
+                    s = an + bn
+                    s_str = F.when(s == F.floor(s), s.cast("long").cast("string")).otherwise(s.cast("string"))
+                    return (
+                        F.when(an.isNotNull() & bn.isNotNull(), s_str)
+                        .otherwise(F.concat(at, bt)),
+                        "string",
+                    )
                 a, b = _dyn_as(a, ta, "num"), _dyn_as(b, tb, "num")
                 return a + b, _promote(ta, tb)
             if op == "-":
@@ -407,10 +427,13 @@ class ExprCompiler:
             if op == "/":
                 # DivideOperator (math_op.rs:197 via binary_math_op) is typed:
                 # Int/Int → Int, Int|Long/Long → Long, both Rust-truncated;
-                # any float operand promotes to true double division.
+                # any float operand promotes to true double division.  The
+                # integral branch uses SQL `div` — exact i64, never a double
+                # round-trip (which rounds operands above 2^53).
                 if ta in ("int", "long") and tb in ("int", "long"):
                     out_t = "long" if "long" in (ta, tb) else "int"
-                    return (a / b).cast(out_t), out_t
+                    q = F.call_function("div", a.cast("long"), b.cast("long"))
+                    return (q if out_t == "long" else q.cast("int")), out_t
                 return _dyn_as(a, ta, "num") / _dyn_as(b, tb, "num"), "double"
             if op == "div":
                 return P.div(_dyn_as(a, ta, "num"), _dyn_as(b, tb, "num")), "long"
@@ -423,16 +446,27 @@ class ExprCompiler:
             if op == "or":
                 return _dyn_as(a, ta, "bool") | _dyn_as(b, tb, "bool"), "boolean"
             if op in (">", "<", ">=", "<=", "==", "!="):
-                # comparisons: a dynamic operand adopts the other side's
-                # shape — numeric vs numbers, text otherwise
-                if "dynamic" in (ta, tb):
-                    other = tb if ta == "dynamic" else ta
-                    want = "num" if other in ("int", "long", "float", "double") else "text"
-                    a, b = _dyn_as(a, ta, want), _dyn_as(b, tb, want)
                 import operator as _op
 
                 pyop = {">": _op.gt, "<": _op.lt, ">=": _op.ge,
                         "<=": _op.le, "==": _op.eq, "!=": _op.ne}[op]
+                if ta == "dynamic" and tb == "dynamic":
+                    # runtime dispatch (reference Value::partial_cmp,
+                    # value.rs:301-338): numeric comparison when BOTH
+                    # payloads are numbers — text compare would order '9' >
+                    # '10' — text comparison otherwise.
+                    at, bt = _dyn_text(a), _dyn_text(b)
+                    an, bn = at.cast("double"), bt.cast("double")
+                    return (
+                        F.when(an.isNotNull() & bn.isNotNull(), pyop(an, bn))
+                        .otherwise(pyop(at, bt)),
+                        "boolean",
+                    )
+                if "dynamic" in (ta, tb):
+                    # one typed side: the dynamic operand adopts its shape
+                    other = tb if ta == "dynamic" else ta
+                    want = "num" if other in ("int", "long", "float", "double") else "text"
+                    a, b = _dyn_as(a, ta, want), _dyn_as(b, tb, want)
                 return pyop(a, b), "boolean"
         if kind == "call":
             name = ast[1]
@@ -579,9 +613,12 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
             expr = agg_fn(fn_name)(*args)
             # reference avg = sum/count through DivideOperator: an integer
             # column yields Long/Long → Rust-truncated long (sum.rs:51-92 +
-            # math_op.rs:197); replicate where the static type is known.
+            # math_op.rs:197); replicate where the static type is known,
+            # using exact integral div (null-counting denominator preserved).
             if fn_name.lower() in ("avg", "mean") and compiled and compiled[0][1] in ("int", "long"):
-                expr = expr.cast("long")
+                expr = F.call_function(
+                    "div", F.sum(args[0]).cast("long"), F.count(F.lit(1))
+                )
             aggs[name] = expr
             col_types[name] = None
         if keys_ast:

@@ -89,8 +89,12 @@ def slice0(arr: ColumnOrName, start, end) -> Column:
 
 def div(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Integer division: both args cast to long, truncated quotient.
-    Reference: math_op.rs:200-228."""
-    return F.try_divide(_col(a).cast("long"), _col(b).cast("long")).cast("long")
+    Reference: math_op.rs:200-228.
+
+    Uses Spark SQL's integral ``div`` (exact i64 arithmetic) — a
+    try_divide-then-cast round-trip goes through double and silently rounds
+    operands above 2^53."""
+    return F.call_function("div", _col(a).cast("long"), _col(b).cast("long"))
 
 
 def mod_long(a: ColumnOrName, b: ColumnOrName) -> Column:

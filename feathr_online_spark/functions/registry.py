@@ -72,10 +72,13 @@ def _get_json_array(col, path: str):
 def _get_json_object(col, path: str):
     """Reference get_json_object: FIRST JsonPath match (extract_json.rs:6-42).
     Spark's native function evaluates the simple-path subset in the JVM —
-    keep it for those; full-JsonPath paths fall back to the evaluator."""
+    keep it for those; full-JsonPath paths fall back to the evaluator.
+    Wildcard paths must NOT take the native path: Spark's get_json_object
+    collects ALL wildcard matches into a JSON array, where the reference
+    returns the FIRST match."""
     from feathr_online_spark.functions import jsonpath as JP
 
-    if JP.spark_native_path(path):
+    if JP.spark_native_path(path) and "*" not in path:
         return F.get_json_object(col, path)
     return JP.get_json_object_udf(path)(_c(col))
 
@@ -93,7 +96,9 @@ def _case_fn(*args):
     expr = None
     i = 0
     while i + 1 < len(args):
-        cond, val = args[i], _c(args[i + 1])
+        # conditions may arrive as python literals from the DSL — F.when
+        # demands a Column
+        cond, val = _c(args[i]), _c(args[i + 1])
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
         i += 2
     default = _c(args[i]) if i < len(args) else None

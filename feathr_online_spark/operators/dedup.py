@@ -283,11 +283,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     clusters (dense little cliques) is 1-2.  The driver only checks a
     convergence COUNT per pass, never data.
 
-    Each round's labels are ``localCheckpoint``-ed (eager): iterative lineage
-    otherwise re-executes the ENTIRE join chain from scratch at every
-    convergence count — O(k²) joins over k rounds, pathological on long
-    chains at scale.  Checkpointing truncates the plan so round k costs one
-    join, and the edges frame is persisted (touched twice per round).
+    Each round's labels are persisted and MATERIALIZED (the convergence
+    count forces it), so round k reads round k-1 from cache instead of
+    re-executing the entire join chain — O(k) work instead of O(k²).
+    Superseded label frames are unpersisted as soon as the next round lands
+    (persist, unlike localCheckpoint, lets us release executor storage
+    deterministically); only the final labels stay cached briefly and are
+    dropped before returning.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -298,7 +300,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .persist()
     )
     try:
         for _ in range(max_iters):
@@ -309,20 +311,25 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             new_labels = (
                 labels.join(neighbor_min, "node", "left")
                 .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
-                .localCheckpoint()  # truncate lineage: round k reads round k-1's blocks
+                .persist()
             )
             changed = (
                 new_labels.withColumnRenamed("lbl", "newlbl")
                 .join(labels, "node")
                 .filter(F.col("newlbl") != F.col("lbl"))
-                .limit(1).count()
+                .limit(1).count()   # materializes new_labels into cache
             )
+            labels.unpersist()      # release the superseded round's blocks
             labels = new_labels
             if changed == 0:
                 break
+        out = labels.select(F.col("node").alias("id"), F.col("lbl").alias("cluster"))
+        # detach the result from the cached frame so the cache can be freed
+        out = out.localCheckpoint()
     finally:
         edges.unpersist()
-    return labels.select(F.col("node").alias("id"), F.col("lbl").alias("cluster"))
+        labels.unpersist()
+    return out
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -244,7 +244,13 @@ class Pipeline:
 
     def _materialize_source(self, source, on: Column | str):
         """CallableSource → DataFrame of (key, fields) over this side's
-        distinct probe keys; DataFrames pass through."""
+        distinct probe keys; DataFrames pass through.
+
+        NB: the key harvest is a second consumer of this side's plan — an
+        expensive probe side upstream of a callable lookup executes twice
+        (once for keys, once for the join) unless the caller persists it
+        first.  Kept explicit rather than auto-persisting: the engine never
+        silently caches data it cannot size."""
         from feathr_online_spark.sources.registry import CallableSource
 
         if isinstance(source, CallableSource):

@@ -126,13 +126,19 @@ def stream_asof_enrich(
     if overlap:
         raise ValueError(f"stream_asof_enrich: column collision {sorted(overlap)}")
 
+    # Deterministic winner among equal-(entity, ts) feature rows: the same
+    # xxhash64-of-payload tiebreak as the batch strategies (asof.py) —
+    # computed JVM-side, carried through the GroupState, so streaming output
+    # is reproducible and matches the batch result on identical data.
     tagged_events = events.select(
         F.col(on), F.col(left_ts).alias("__ts"), F.lit(0).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
         *[F.col(c) for c in event_cols],
         *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in payload],
     )
     tagged_feats = features.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(1).alias("__tag"),
+        F.xxhash64(*[F.col(c) for c in payload]).cast("long").alias("__tb"),
         *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in event_cols],
         *[F.col(c) for c in payload],
     )
@@ -143,31 +149,34 @@ def stream_asof_enrich(
         + [events.schema[c] for c in event_cols]
         + [features.schema[c] for c in payload]
     )
-    # state: latest feature (ts in unix micros, payload values)
+    # state: latest feature (ts in unix micros, tiebreak, payload values)
     state_schema = StructType(
-        [StructField("__ts_us", LongType())] + [features.schema[c] for c in payload]
+        [StructField("__ts_us", LongType()), StructField("__tb", LongType())]
+        + [features.schema[c] for c in payload]
     )
     allow_exact = not strict
 
     def merge(key, pdfs, state):
         last = list(state.get) if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(["__ts", "__tag"], kind="mergesort")
+            pdf = pdf.sort_values(["__ts", "__tag", "__tb"], kind="mergesort")
             ev = pdf[pdf["__tag"] == 0]
-            ft = pdf[pdf["__tag"] == 1][["__ts"] + payload]
+            ft = pdf[pdf["__tag"] == 1][["__ts", "__tb"] + payload]
             if last is not None and last[0] is not None:
                 seed = pd.DataFrame(
-                    [[pd.Timestamp(last[0], unit="us")] + list(last[1:])],
-                    columns=["__ts"] + payload,
+                    [[pd.Timestamp(last[0], unit="us"), last[1]] + list(last[2:])],
+                    columns=["__ts", "__tb"] + payload,
                 )
-                # re-sort: the carried state row may postdate out-of-order
-                # arrivals in this batch, and merge_asof demands sorted keys
-                ft = pd.concat([seed, ft], ignore_index=True).sort_values(
-                    "__ts", kind="mergesort"
-                )
+                ft = pd.concat([seed, ft], ignore_index=True)
             if len(ft):
+                # re-sort: the carried state row (or out-of-order arrivals)
+                # may break ordering, and merge_asof demands sorted keys; the
+                # (ts, tb) sort puts the max-tiebreak row last among equal
+                # timestamps — exactly the batch winner
+                ft = ft.sort_values(["__ts", "__tb"], kind="mergesort")
                 newest = ft.iloc[-1]
-                last = [int(newest["__ts"].value // 1000)] + [newest[c] for c in payload]
+                last = ([int(newest["__ts"].value // 1000), int(newest["__tb"])]
+                        + [newest[c] for c in payload])
             if len(ev):
                 ev = ev[[on, "__ts"] + event_cols]
                 if len(ft):

@@ -211,3 +211,44 @@ def test_parser_accepts_reference_grammar_vectors():
     for src in vectors:
         ast = Parser(tokenize(src)).expr()
         assert ast is not None, src
+
+
+def test_dynamic_vs_dynamic_runtime_dispatch(spark):
+    """dyn-vs-dyn comparisons and `+` dispatch on the payloads' runtime
+    shapes like the reference Value model: numbers compare/add numerically
+    ('9' > '10' must be FALSE), strings concatenate (never silent nulls)."""
+    p = parse_pipelines(
+        "t(a, b)\n"
+        "| project gt = a > b, eq = a == b, plus = a + b\n"
+        ";"
+    )["t"]
+    rows = [
+        {"a": 9, "b": 10},          # numeric: 9 > 10 false, 9+10=19
+        {"a": 2, "b": 2.0},         # 2 == 2.0 numerically
+        {"a": "foo", "b": "bar"},   # strings: concat
+    ]
+    got = p.run(spark, rows).collect()
+    by_plus = {r.plus: r for r in got}
+    assert by_plus["19"].gt is False
+    assert by_plus["4"].eq is True          # 2 + 2.0 = 4 (integral render)
+    assert by_plus["foobar"].plus == "foobar"
+
+
+def test_case_function_with_literal_condition(spark):
+    """case() through the DSL passes literal conditions as python natives —
+    the registry must wrap them (function/case.rs accepts constant conds)."""
+    p = parse_pipelines('t(x as int)\n| project y = case(true, 1, 0)\n;')["t"]
+    assert p.run(spark, [{"x": 5}]).collect()[0].y == 1
+
+
+def test_integral_division_exact_beyond_double(spark):
+    """64-bit operands above 2^53 must divide exactly (SQL div, not a
+    double round-trip)."""
+    big = 9007199254740993  # 2^53 + 1
+    p = parse_pipelines("t(a as long)\n| project q = a / 1, d = a div 1\n;")["t"]
+    r = p.run(spark, [{"a": big}]).collect()[0]
+    assert r.q == big and r.d == big
+    # truncation direction parity with Rust: toward zero
+    p2 = parse_pipelines("t(a as int)\n| project q = a / 2, d = a div 2\n;")["t"]
+    r2 = p2.run(spark, [{"a": -7}]).collect()[0]
+    assert r2.q == -3 and r2.d == -3

@@ -141,3 +141,11 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into this env
     pass
+
+
+def test_get_json_object_wildcard_first_match(spark):
+    """Wildcard paths must return the FIRST match (extract_json.rs), not
+    Spark's all-matches JSON array."""
+    df = spark.createDataFrame([('{"a": [{"b": 1}, {"b": 2}]}',)], "j string")
+    out = df.select(fn("get_json_object")(F.col("j"), "$.a[*].b").alias("v")).collect()[0]
+    assert out.v == "1"
