@@ -83,6 +83,18 @@ def _get_json_object(col, path: str):
     return JP.get_json_object_udf(path)(_c(col))
 
 
+def _bit_fold(op: str, xs) -> Column:
+    """Row-wise variadic bitwise fold (reference function/mod.rs:91-97) —
+    long-cast operands, left fold from the first argument."""
+    if not xs:
+        raise ValueError("bitwise fold: at least one argument required")
+    cols = [_c(x).cast("long") for x in xs]
+    out = cols[0]
+    for c in cols[1:]:
+        out = getattr(out, op)(c)
+    return out
+
+
 def _iff(cond, a, b):
     return F.when(cond, a).otherwise(b)
 
@@ -141,7 +153,14 @@ _REGISTRY: dict[str, object] = {
     "rand": F.rand, "random": F.rand,
     "shuffle": F.shuffle,                # rand_functions::shuffle (mod.rs:335)
     # --- bitwise ---
-    "bit_and": F.bit_and, "bit_or": F.bit_or, "bit_xor": F.bit_xor,
+    # The reference registers bit_and/or/xor as VARIADIC SCALAR folds
+    # (function/mod.rs:91-97), not aggregates.  NB its bit_and folds from an
+    # accumulator of 0 (`fold(0, |acc, x| acc & x)`) and therefore always
+    # returns 0 — an evident reference bug we deliberately do NOT replicate:
+    # the fold here starts from the first argument.
+    "bit_and": lambda *xs: _bit_fold("bitwiseAND", xs),
+    "bit_or": lambda *xs: _bit_fold("bitwiseOR", xs),
+    "bit_xor": lambda *xs: _bit_fold("bitwiseXOR", xs),
     "bit_count": F.bit_count, "bit_get": F.bit_get, "getbit": F.getbit,
     "bit_length": F.bit_length, "bit_not": lambda x: F.bitwise_not(x) if hasattr(F, "bitwise_not") else F.bitwiseNOT(x),
     "shiftleft": F.shiftleft, "shiftright": F.shiftright,

@@ -113,3 +113,27 @@ def test_substring_negative_length(spark):
     assert one(spark, pf.substring0(F.lit("hello"), 0, -2)) == "hel"
     # negative start + negative length: start=-3 → 2; len' = 5-1-2 = 2 → 'll'
     assert one(spark, pf.substring0(F.lit("hello"), -3, -1)) == "ll"
+
+
+def test_bitwise_scalar_folds(spark):
+    """bit_and/or/xor are row-wise variadic folds (function/mod.rs:91-97) —
+    the reference's own fold starts at 0 (making bit_and constantly 0, an
+    evident bug not replicated); here the fold starts at the first arg.
+    Through the DSL, `&` and `~` desugar to these."""
+    from feathr_online_spark.dsl import parse_pipelines
+
+    assert one(spark, fn("bit_and")(F.lit(6), F.lit(3))) == 2
+    assert one(spark, fn("bit_or")(F.lit(6), F.lit(3))) == 7
+    assert one(spark, fn("bit_xor")(F.lit(6), F.lit(3), F.lit(1))) == 4
+    p = parse_pipelines("t(a as int)\n| project b = a & 3, c = ~a\n;")["t"]
+    r = p.run(spark, [{"a": 5}]).collect()[0]
+    assert r.b == 1 and r.c == ~5
+
+
+def test_type_conv_golden(spark):
+    """type_conv.rs test vector: int(1.2) truncates to 1; plus the lenient
+    string round-trips."""
+    assert one(spark, fn("int")(F.lit(1.2))) == 1
+    assert one(spark, fn("double")(F.lit("2.5"))) == 2.5
+    assert one(spark, fn("boolean")(F.lit("true"))) is True
+    assert one(spark, fn("string")(F.lit(42))) == "42"
