@@ -95,6 +95,17 @@ def _bit_fold(op: str, xs) -> Column:
     return out
 
 
+def _bool_fold(op: str, xs) -> Column:
+    """Row-wise variadic all/any (reference function/mod.rs:98-99,161)."""
+    if not xs:
+        raise ValueError("boolean fold: at least one argument required")
+    cols = [_c(x).cast("boolean") for x in xs]
+    out = cols[0]
+    for c in cols[1:]:
+        out = getattr(out, op)(c)
+    return out
+
+
 def _iff(cond, a, b):
     return F.when(cond, a).otherwise(b)
 
@@ -165,7 +176,12 @@ _REGISTRY: dict[str, object] = {
     "bit_length": F.bit_length, "bit_not": lambda x: F.bitwise_not(x) if hasattr(F, "bitwise_not") else F.bitwiseNOT(x),
     "shiftleft": F.shiftleft, "shiftright": F.shiftright,
     "shiftrightunsigned": F.shiftrightunsigned,
-    "bool_and": F.bool_and, "bool_or": F.bool_or, "every": F.bool_and,
+    # the reference registers these as VARIADIC SCALAR all/any over the
+    # arguments (function/mod.rs:98-99,161), not aggregates — the aggregate
+    # forms live in functions/aggregations.py
+    "bool_and": lambda *xs: _bool_fold("__and__", xs),
+    "bool_or": lambda *xs: _bool_fold("__or__", xs),
+    "every": lambda *xs: _bool_fold("__and__", xs),
     # --- string (string_functions.rs, misc_functions.rs:43-186) ---
     "ascii": F.ascii, "btrim": F.btrim, "char": F.char, "chr": F.char,
     "char_length": F.char_length, "character_length": F.character_length,
@@ -196,7 +212,10 @@ _REGISTRY: dict[str, object] = {
     "timestamp": _timestamp,
     "timestamp_micros": F.timestamp_micros, "timestamp_millis": F.timestamp_millis,
     "timestamp_seconds": F.timestamp_seconds,
-    "to_unix_timestamp": F.to_unix_timestamp, "unix_timestamp": F.unix_timestamp,
+    # the reference binds unix_timestamp/to_unix_timestamp to the SAME
+    # TimestampFunction as timestamp() (mod.rs → timestamp.rs): chrono
+    # format dialect, double epoch seconds
+    "to_unix_timestamp": _timestamp, "unix_timestamp": _timestamp,
     "unix_date": F.unix_date, "unix_micros": F.unix_micros,
     "unix_millis": F.unix_millis, "unix_seconds": F.unix_seconds,
     # --- array (array_functions.rs, misc_functions.rs:306-359, len.rs) ---

@@ -137,3 +137,14 @@ def test_type_conv_golden(spark):
     assert one(spark, fn("double")(F.lit("2.5"))) == 2.5
     assert one(spark, fn("boolean")(F.lit("true"))) is True
     assert one(spark, fn("string")(F.lit(42))) == "42"
+
+
+def test_bool_folds_and_unix_timestamp_scalar(spark):
+    """bool_and/bool_or/every are row-wise variadic (mod.rs:98-99,161);
+    unix_timestamp/to_unix_timestamp share TimestampFunction with
+    timestamp() — chrono format, double epoch."""
+    assert one(spark, fn("bool_and")(F.lit(True), F.lit(True), F.lit(False))) is False
+    assert one(spark, fn("bool_or")(F.lit(False), F.lit(True))) is True
+    assert one(spark, fn("every")(F.lit(True), F.lit(True))) is True
+    v = one(spark, fn("unix_timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d"))
+    assert v == 1577836800.0 and isinstance(v, float)
