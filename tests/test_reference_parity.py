@@ -249,3 +249,36 @@ def test_scalar_function_golden_vectors(spark):
     assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d")) == 1577836800.0
     assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d",
                                "Asia/Shanghai")) == 1577836800.0 - 8 * 3600
+
+
+def test_datetime_regexp_golden_vectors(spark):
+    """More reference unit-test vectors: datetime_functions.rs (add_months
+    end-of-month clamp, add_days, from_utc_timestamp, make_timestamp with
+    timezone) and regexp.rs (regexp_extract group defaults, extract_all)."""
+    import datetime
+
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    d = F.lit("2021-03-31").cast("date")
+    # add_months clamps to month end (2021-03-31 + 1mo = 2021-04-30)
+    assert one(fn("add_months")(d, 1)) == datetime.date(2021, 4, 30)
+    assert one(fn("date_add")(d, 1)) == datetime.date(2021, 4, 1)
+    # from_utc_timestamp: UTC instant rendered as Asia/Shanghai wall time
+    ts = F.lit("2022-03-04 05:00:00").cast("timestamp")
+    shifted = one(fn("from_utc_timestamp")(ts, "Asia/Shanghai"))
+    assert shifted == datetime.datetime(2022, 3, 4, 13, 0, 0)
+    # make_timestamp with timezone: 13:00 Shanghai = 05:00 UTC
+    mk = one(fn("make_timestamp")(F.lit(2021), F.lit(3), F.lit(31), F.lit(13),
+                                  F.lit(0), F.lit(0), F.lit("Asia/Shanghai")))
+    assert mk == datetime.datetime(2021, 3, 31, 5, 0, 0)
+    # regexp.rs vectors: group default/0/1, miss → empty string; extract_all
+    s = F.lit("hello world")
+    assert one(fn("regexp_extract")(s, "^(hello)", 1)) == "hello"
+    assert one(fn("regexp_extract")(s, "^(hello)", 0)) == "hello"
+    assert one(fn("regexp_extract")(s, "^(world)", 1)) == ""
+    assert one(fn("regexp_extract_all")(s, F.lit("^(hello)"), 1)) == ["hello"]
+    assert one(fn("regexp_extract_all")(s, F.lit("^(world)"), 1)) == []
+    assert one(fn("regexp_replace")(s, "o", "0")) == "hell0 w0rld"
