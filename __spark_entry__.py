@@ -956,7 +956,7 @@ WHERE TRY_CAST(CASE WHEN event_type = 'click' THEN '1'
 # mirroring operators.dedup.with_shingles (lower → split → 3-gram → distinct).
 _DUCK_SHINGLES = """
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1021,7 +1021,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # marker lists must match operators.text.LANG_MARKERS
 ORACLE_LANG_ID = """
 WITH s AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws, text FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws, text FROM documents
 ), sc AS (
   SELECT doc_id,
     len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
@@ -1063,10 +1063,10 @@ ORACLE_TEXT_QUALITY = """
 WITH q AS (
   SELECT doc_id, text,
          length(text)::BIGINT AS n_chars,
-         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_words,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
          len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
              x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
                                  'for','on','with','as','by','at','it','that','this','be'], lower(x))))::BIGINT AS n_stop
   FROM documents
@@ -1235,7 +1235,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECONTAMINATE = """
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= 3
@@ -1273,7 +1273,7 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PREPARE_CORPUS = """
 WITH s AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws, text FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws, text FROM documents
 ), sc AS (
   SELECT doc_id,
     len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
@@ -1294,10 +1294,10 @@ WITH s AS (
 ), q AS (
   SELECT doc_id, text,
          length(text)::BIGINT AS n_chars,
-         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_words,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
          len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
              x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
                                  'for','on','with','as','by','at','it','that','this','be'], lower(x))))::BIGINT AS n_stop
   FROM documents
@@ -1362,7 +1362,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_CLUSTERS = """
 WITH RECURSIVE w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

@@ -23,8 +23,10 @@ def _col(c: ColumnOrName) -> Column:
 # ---------------------------------------------------------------------------
 
 def words(text: ColumnOrName) -> Column:
-    """Whitespace tokenization (collapses runs)."""
-    return F.split(F.trim(_col(text)), r"\s+")
+    """Whitespace tokenization (collapses runs).  Empty/whitespace-only text
+    yields an EMPTY array — `split('')` returns [''] which would count as one
+    token and let empty documents through quality filters."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda x: x != "")
 
 
 def token_count_ws(text: ColumnOrName) -> Column:
@@ -64,10 +66,14 @@ def quality_features(text: ColumnOrName) -> dict[str, Column]:
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x))))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
     n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    # mean word length over the TRIMMED text (words() trims; untrimmed
+    # n_chars would credit padding whitespace to the words).  Assumes
+    # single-space separation between the n_words tokens.
+    n_chars_trim = F.length(F.trim(t))
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "mean_word_len": F.round((n_chars - n_words + 1) / n_words, 4),
+        "mean_word_len": F.round((n_chars_trim - n_words + 1) / n_words, 4),
         "punct_ratio": F.round(n_punct / n_chars, 4),
         "digit_ratio": F.round(n_digit / n_chars, 4),
         "stopword_ratio": F.round(n_stop / n_words, 4),

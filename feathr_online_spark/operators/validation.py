@@ -32,7 +32,10 @@ _NUMERIC = {"tinyint", "smallint", "int", "integer", "bigint", "long", "float", 
 
 
 def _simple(t: DataType) -> str:
-    return t.simpleString()
+    s = t.simpleString()
+    # decimal renders as 'decimal(p,s)' — bucket it so decimal↔numeric casts
+    # stay legal (value.rs treats all numerics alike)
+    return "decimal" if s.startswith("decimal") else s
 
 
 def _strict_ok(src: str, dst: str) -> bool:
@@ -84,7 +87,7 @@ def validated(df: DataFrame, schema: StructType, mode: str = "lenient") -> DataF
             cols.append(F.lit(f"Column {name} is missing in the input data set").alias(f"_err_{name}"))
             continue
         src = _simple(in_types[name])
-        if src == dst:
+        if src == dst and src != "decimal":
             cols.append(F.col(name))
             cols.append(F.lit(None).cast("string").alias(f"_err_{name}"))
             continue
@@ -96,7 +99,10 @@ def validated(df: DataFrame, schema: StructType, mode: str = "lenient") -> DataF
                 .alias(f"_err_{name}")
             )
             continue
-        casted = F.try_cast(F.col(name), dst) if hasattr(F, "try_cast") else F.col(name).cast(dst)
+        # Column.try_cast (null on failure) regardless of ANSI mode — the
+        # functions module has no try_cast, so hasattr(F, ...) was dead code
+        # and a plain .cast throws under ANSI sessions instead of marking
+        casted = F.col(name).try_cast(field.dataType)
         cols.append(casted.alias(name))
         cols.append(
             F.when(F.col(name).isNotNull() & casted.isNull(),

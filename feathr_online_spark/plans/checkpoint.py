@@ -24,13 +24,24 @@ def bucket_of(entity_col: str, n_buckets: int):
 
 
 def load_done_partitions(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Read the manifest; empty DataFrame if it doesn't exist yet."""
-    if os.path.exists(manifest_path):
-        try:
-            return spark.read.parquet(manifest_path).select("bucket").distinct()
-        except Exception:
-            pass
-    return spark.createDataFrame([], "bucket long")
+    """Read the manifest; empty DataFrame ONLY when it genuinely doesn't
+    exist yet.  A corrupt/unreadable manifest must FAIL the run — silently
+    treating it as 'nothing done' would re-append every completed bucket."""
+    if not os.path.exists(manifest_path):
+        return spark.createDataFrame([], "bucket long")
+    try:
+        return spark.read.parquet(manifest_path).select("bucket").distinct()
+    except Exception as e:
+        from pyspark.errors import AnalysisException
+
+        # an existing-but-empty directory (crash before any part file) is the
+        # one benign case: Spark raises UNABLE_TO_INFER_SCHEMA for it
+        if isinstance(e, AnalysisException) and "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], "bucket long")
+        raise RuntimeError(
+            f"checkpoint manifest at {manifest_path!r} exists but cannot be read; "
+            f"refusing to resume as-if-empty (would duplicate completed work)"
+        ) from e
 
 
 def resume_filter(

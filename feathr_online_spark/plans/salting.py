@@ -41,6 +41,13 @@ def salted_join(
     replicate the small side k ways, join on (on, salt).  Post-join the salt
     is dropped.  k≈8-32 suffices for Zipf skew; beyond that the replication
     cost of the small side dominates."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would surface each unmatched small-side row k
+        # times (one per replica) — silently corrupt results
+        raise ValueError(f"salted_join does not support how={how!r}: the small "
+                         f"side is replicated {k}×, so unmatched small-side rows "
+                         f"of an outer join would duplicate")
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, k)
     s = replicate(small, k)

@@ -29,18 +29,21 @@ class CallableSource:
     it per DISTINCT probe key inside ``mapInPandas`` — Arrow-batched transfer,
     one Python round-trip per partition, never per input row.  Async
     callables (the reference mandates coroutines) are gathered concurrently
-    per batch, which preserves the reference's overlapping-I/O behaviour for
-    slow remote lookups.
+    per batch under a bounded semaphore (``max_concurrency``, default 64),
+    preserving the reference's overlapping-I/O behaviour for slow remote
+    lookups without stampeding a backend with tens of thousands of
+    simultaneous requests when a partition holds many keys.
 
     ``fields_schema`` is a DDL string for the served columns, e.g.
     ``"name string, age long"``; the key column's type is adopted from the
     probe side at materialize time.
     """
 
-    def __init__(self, fn, key: str, fields_schema: str):
+    def __init__(self, fn, key: str, fields_schema: str, max_concurrency: int = 64):
         self.fn = fn
         self.key = key
         self.fields_schema = fields_schema
+        self.max_concurrency = max_concurrency
         from pyspark.sql.types import StructType
 
         self._fields_struct = StructType.fromDDL(fields_schema)
@@ -62,6 +65,7 @@ class CallableSource:
             f"{key} {keys_df.schema[0].dataType.simpleString()}, {self.fields_schema}"
         )
         is_async = inspect.iscoroutinefunction(fn)
+        max_conc = self.max_concurrency
 
         def gen(batches):
             import pandas as pd
@@ -70,7 +74,13 @@ class CallableSource:
                 keys = list(pdf[key])
                 if is_async:
                     async def _all():
-                        return await asyncio.gather(*(fn(k, names) for k in keys))
+                        sem = asyncio.Semaphore(max_conc)
+
+                        async def one(k):
+                            async with sem:
+                                return await fn(k, names)
+
+                        return await asyncio.gather(*(one(k) for k in keys))
 
                     results = asyncio.run(_all())
                 else:
@@ -107,9 +117,11 @@ class SourceRegistry:
             fmt = {"csv": "csv", "parquet": "parquet", "json": "json", "ndjson": "json"}.get(ext)
             if fmt is None:
                 raise ValueError(f"cannot infer format from '{path}'")
-            if ext == "csv":
-                options.setdefault("header", "true")
-                options.setdefault("inferSchema", "true")
+        if fmt == "csv":
+            # apply whether fmt was inferred OR passed explicitly — a
+            # headerless read yields _c0.._cN and the key column vanishes
+            options.setdefault("header", "true")
+            options.setdefault("inferSchema", "true")
         reader = self.spark.read.options(**options)
         self.register(name, reader.format(fmt).load(path), key)
 

@@ -50,9 +50,10 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.table(ref)
 
 
-def build_job(spark: SparkSession, args) -> DataFrame:
+def build_job(spark: SparkSession, args) -> tuple[DataFrame, DataFrame]:
+    """Returns (output DataFrame, this run's distinct manifest buckets)."""
     from feathr_online_spark.operators.pit import pit_enrich
-    from feathr_online_spark.plans.checkpoint import resume_filter
+    from feathr_online_spark.plans.checkpoint import bucket_of, resume_filter
 
     seq = read_table(spark, args.sequences).select(
         "doc_id", "entity", "event_time", "n_tok", "source",
@@ -61,6 +62,9 @@ def build_job(spark: SparkSession, args) -> DataFrame:
     )
     if args.manifest:
         seq = resume_filter(seq, args.manifest, entity_col="entity", n_buckets=args.n_buckets)
+    # this run's work units, from the INPUT (one cheap map-side distinct) —
+    # never by re-scanning the accumulated output directory
+    run_buckets = seq.select(bucket_of("entity", args.n_buckets).alias("bucket")).distinct()
     feat = read_table(spark, args.features)
     out = pit_enrich(
         seq, feat,
@@ -70,12 +74,14 @@ def build_job(spark: SparkSession, args) -> DataFrame:
         hot_threshold=args.hot_threshold,
         bucket_seconds=args.bucket_seconds,
     )
-    return out.select(
+    out = out.select(
         "doc_id", "entity", "event_time", "n_tok", "source",
         "session_id", "hist_n", "f_scalar",
         F.aggregate("f_vec", F.lit(0.0), lambda a, x: a + x).alias("f_vec_sum"),
         "tok_ratio", "tok_fingerprint",
+        bucket_of("entity", args.n_buckets).alias("bucket"),
     )
+    return out, run_buckets
 
 
 def main() -> None:
@@ -95,28 +101,37 @@ def main() -> None:
     spark = get_spark(app_name="northrule_job")
 
     t0 = time.time()
-    out = build_job(spark, args)
-    # Write range-partitioned by entity so downstream as-of consumers get
-    # co-located, sorted-within-partition data (Iceberg: sortedBy on write).
-    (out.repartitionByRange(F.col("entity"), F.col("event_time"))
+    run_id = f"run-{int(t0)}"
+    out, run_buckets = build_job(spark, args)
+    done = sorted(r[0] for r in run_buckets.collect())  # ≤ n_buckets rows
+
+    # CRASH-IDEMPOTENT write: output is partitioned by the manifest's work
+    # unit (bucket) and written with DYNAMIC partition overwrite — a re-run
+    # of an unmarked bucket REPLACES its partition instead of appending a
+    # duplicate copy, closing the write→mark_done crash window.  Data is
+    # shuffled on bucket (so each task writes one bucket directory) and
+    # sorted within partitions on (entity, event_time) for downstream as-of
+    # consumers (Iceberg: identity-partition by bucket + sortedBy on write).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (out.repartition(F.col("bucket"))
         .sortWithinPartitions("entity", "event_time")
-        .write.mode("append").parquet(args.output))
+        .write.mode("overwrite").partitionBy("bucket").parquet(args.output))
 
     if args.metrics:
         from feathr_online_spark.plans.lineage import partition_lineage
-        lin = partition_lineage(spark.read.parquet(args.output)).withColumn(
-            "run_wall_s", F.lit(round(time.time() - t0, 2))
-        )
+        # lineage over THIS run's partitions only (partition-pruned read-back
+        # of the just-written buckets), stamped with the run id — never a
+        # rescan of the whole accumulated output
+        this_run = spark.read.parquet(args.output).where(F.col("bucket").isin(done))
+        lin = partition_lineage(this_run).withColumns({
+            "run_wall_s": F.lit(round(time.time() - t0, 2)),
+            "run_id": F.lit(run_id),
+        })
         lin.write.mode("append").parquet(args.metrics)
 
     if args.manifest:
         from feathr_online_spark.plans.checkpoint import mark_done
-        # every logical bucket that appears in this run's input is now done
-        done = [r[0] for r in
-                spark.read.parquet(args.output)
-                .select(F.pmod(F.col("entity"), F.lit(args.n_buckets)).cast("long").alias("b"))
-                .distinct().collect()]
-        mark_done(spark, args.manifest, done, run_id=f"run-{int(t0)}")
+        mark_done(spark, args.manifest, done, run_id=run_id)
 
     print(f"northrule_job done: {time.time() - t0:.1f}s → {args.output}")
 
