@@ -282,3 +282,31 @@ def test_datetime_regexp_golden_vectors(spark):
     assert one(fn("regexp_extract_all")(s, F.lit("^(hello)"), 1)) == ["hello"]
     assert one(fn("regexp_extract_all")(s, F.lit("^(world)"), 1)) == []
     assert one(fn("regexp_replace")(s, "o", "0")) == "hell0 w0rld"
+
+
+def test_where_take_golden_exact(spark):
+    """where_transformation.rs:61-90 (where a > 20 keeps rows 20-exclusive)
+    and take_transformation.rs:57-80 (take 3 of a 7-row set).  `take` has no
+    deterministic order in either engine; assert the count and that rows come
+    from the input set."""
+    p = parse_pipelines("t(a as int, b as array)\n| where a > 20\n;")["t"]
+    data = [(10, ["1"]), (10, []), (20, []), (20, ["400"]), (30, ["600"]), (40, ["800"])]
+    out = p.run(spark, [{"a": a, "b": b} for a, b in data])
+    assert sorted(r.a for r in out.collect()) == [30, 40]
+
+    p2 = parse_pipelines("t(a as int, b as array)\n| take 3\n;")["t"]
+    out2 = p2.run(spark, [{"a": a, "b": b} for a, b in data]).collect()
+    assert len(out2) == 3
+    assert all(r.a in {10, 20, 30, 40} for r in out2)
+
+
+def test_datetime_string_comparison(spark):
+    """comparison_op.rs / value.rs:301-338: DateTime↔String comparison parses
+    the string — Spark's implicit cast gives the same observable result."""
+    p = parse_pipelines("t(ts as datetime)\n| where ts > \"2024-01-01 12:00:00\"\n;")["t"]
+    import datetime
+
+    rows = [{"ts": datetime.datetime(2024, 1, 1, 11)},
+            {"ts": datetime.datetime(2024, 1, 1, 13)}]
+    got = p.run(spark, rows).collect()
+    assert len(got) == 1 and got[0].ts.hour == 13
