@@ -948,6 +948,39 @@ WHERE TRY_CAST(CASE WHEN event_type = 'click' THEN '1'
 """
 
 
+def q_collect_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the error side channel (§1.4, dataset.rs:238-310): lenient validation
+    over a partially-unparseable projection, aggregated to one row per
+    (column, message) with a count — oracled by TRY_CAST null counting."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from feathr_online_spark.operators.validation import collect_errors, validated
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit("1"))
+         .when(F.col("event_type") == "view", F.lit("2"))
+         .otherwise(F.col("event_type")).alias("code"),
+        "value",
+    )
+    target = StructType([
+        StructField("event_id", LongType()),
+        StructField("code", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    return collect_errors(validated(ev, target, mode="lenient"))
+
+
+ORACLE_COLLECT_ERRORS = """
+SELECT 'code' AS column,
+       'Column code: value failed to convert to bigint' AS message,
+       count(*) AS n
+FROM events
+WHERE event_type NOT IN ('click', 'view')
+  AND TRY_CAST(event_type AS BIGINT) IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup / similarity / text analysis (SURVEY.md §7 + brief)
 # ---------------------------------------------------------------------------
@@ -1427,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_cogroup": q_asof_cogroup,
         "tpch_join3": q_tpch_join3,
         "validation": q_validation,
+        "collect_errors": q_collect_errors,
         "asof_bucketed": q_asof_bucketed,
         "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_bucketed": q_rolling_bucketed,
@@ -1477,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_cogroup": ORACLE_ASOF_PURCHASE,
         "tpch_join3": ORACLE_TPCH_JOIN3,
         "validation": ORACLE_VALIDATION,
+        "collect_errors": ORACLE_COLLECT_ERRORS,
         "asof_bucketed": ORACLE_ASOF_PURCHASE,
         "sessionize_bucketed": ORACLE_SESSIONIZE,
         "rolling_bucketed": ORACLE_ROLLING,
