@@ -55,3 +55,24 @@ def test_job_resume_and_crash_idempotence(tmp_path):
     shutil.rmtree(f"{tmp}/manifest")
     _run_job(fix, tmp)
     assert _out_rows(tmp) == n
+
+
+@pytest.mark.slow
+def test_window_gates_on_dense_subsecond_fixture(tmp_path):
+    """All window/PIT gate queries must stay oracle-green on a fixture whose
+    gaps straddle the session/frame boundaries with microsecond jitter —
+    the regression net for the round-1 floored-second time-math bug."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import subsecond_fixture
+
+    fix = subsecond_fixture.write(str(tmp_path / "subsec"))
+    queries = ["sessionize", "rolling", "pit_fused", "sessionize_bucketed",
+               "rolling_bucketed", "pit_enrich", "lag_lead_ffill",
+               "asof_purchase", "asof_bucketed", "asof_cogroup"]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), fix] + queries,
+        env=env, capture_output=True, text=True, timeout=500, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-1000:]
+    assert r.stdout.count("OK") == len(queries), r.stdout
