@@ -68,21 +68,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flagship: point-in-time enrichment (as-of join, strict <) + window features
 # ---------------------------------------------------------------------------
 
+def _pit_left(events: DataFrame, null_inject: bool = False) -> DataFrame:
+    """click/view events as the PIT probe side — the ONE definition every
+    as-of/composite gate shares, so the strict-PIT input contract cannot
+    drift between the variants that share an oracle.  ``null_inject``
+    replaces value with the nullable ``v`` the forward-fill variants use."""
+    val = (
+        F.when(F.col("value") > 20, F.round("value", 4)).alias("v")
+        if null_inject else F.round("value", 4).alias("value")
+    )
+    return events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("event_time"),
+        "event_id",
+        val,
+    )
+
+
+def _pit_feat(events: DataFrame, alias: str = "purchase_value") -> DataFrame:
+    """purchase events rolled up per (entity, ts) — the PIT feature side."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
+        .agg(F.round(F.sum("value"), 4).alias(alias))
+    )
+
+
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click/view event, attach the user's most recent prior
     purchase amount (strictly before the event — zero temporal leakage)."""
     events = _t(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("entity"),
-        F.col("ts").alias("event_time"),
-        "event_id",
-        F.round("value", 4).alias("value"),
-    )
-    feat = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
-        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
-    )
+    left = _pit_left(events)
+    feat = _pit_feat(events)
     out = asof_join(left, feat, on="entity", left_ts="event_time", right_ts="feature_time", strict=True)
     return out.select(
         "event_id",
@@ -354,7 +371,7 @@ SELECT doc_id,
        substr(text, greatest(length(text) - 6, 0) + 1, 6) AS tail0,
        length(text) AS n,
        CAST(coalesce(strpos(text, 'data'), 0) AS INT) AS pos_data,
-       string_split(text, ' ')[2] AS second_word,
+       split_part(text, ' ', 2) AS second_word,
        concat_ws('|', 'x', lang, source) AS joined,
        translate(lang, 'en', 'EN') AS lang_tr,
        levenshtein(substr(text, 1, 6), 'spark!') AS lev,
@@ -461,7 +478,7 @@ def q_json_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_REGEXP_FUNCS = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
        json_extract_string(props, '$.missing') AS k_missing,
        array_to_string(json_keys(props), ',') AS keys,
        regexp_extract(event_type, '^(.)', 1) AS first_ch,
@@ -549,6 +566,15 @@ FROM t
 """
 
 
+def _ts_user_key():
+    """(ts, user_id) as one sortable zero-padded string — a deterministic
+    min_by/max_by key both engines support."""
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("user_id").cast("string"), 20, "0"),
+    )
+
+
 def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregation registry coverage (SURVEY.md §2.3) by event_type."""
     from feathr_online_spark.functions.aggregations import agg_fn
@@ -565,9 +591,13 @@ def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_v": F.round(agg_fn("avg")(F.col("value")), 4),
                 "min_v": agg_fn("min")(F.col("value")),
                 "max_v": agg_fn("max")(F.col("value")),
-                # piper min_by(key, value): user at the earliest/latest ts
-                "first_user_by_ts": agg_fn("min_by")(F.col("ts"), F.col("user_id")),
-                "last_user_by_ts": agg_fn("max_by")(F.col("ts"), F.col("user_id")),
+                # piper min_by(key, value): user at the earliest/latest ts.
+                # The key is (ts, user_id) packed into a zero-padded string —
+                # ties on ts alone would pick engine-arbitrary users (the
+                # fixture's minute-granularity ts makes ties plausible);
+                # DuckDB min_by has no composite-key overload.
+                "first_user_by_ts": agg_fn("min_by")(_ts_user_key(), F.col("user_id")),
+                "last_user_by_ts": agg_fn("max_by")(_ts_user_key(), F.col("user_id")),
                 "all_pos": agg_fn("every")(F.col("value") > 0),
                 "any_hi": agg_fn("any")(F.col("value") > 99),
                 "user_set_head": F.array_join(
@@ -592,8 +622,10 @@ SELECT count(*) AS n,
        round(sum(value) / count(*), 4) AS avg_v,
        min(value) AS min_v,
        max(value) AS max_v,
-       min_by(user_id, ts) AS first_user_by_ts,
-       max_by(user_id, ts) AS last_user_by_ts,
+       min_by(user_id, concat(lpad(epoch_us(ts)::VARCHAR, 20, '0'),
+                              lpad(user_id::VARCHAR, 20, '0'))) AS first_user_by_ts,
+       max_by(user_id, concat(lpad(epoch_us(ts)::VARCHAR, 20, '0'),
+                              lpad(user_id::VARCHAR, 20, '0'))) AS last_user_by_ts,
        bool_and(coalesce(value > 0, false)) AS all_pos,
        bool_or(coalesce(value > 99, false)) AS any_hi,
        array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') AS user_set_head,
@@ -639,17 +671,8 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the cogroup/merge_asof (pandas/Arrow) as-of strategy — same semantics,
     same oracle as the union-window strategy."""
     events = _t(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("entity"),
-        F.col("ts").alias("event_time"),
-        "event_id",
-        F.round("value", 4).alias("value"),
-    )
-    feat = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
-        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
-    )
+    left = _pit_left(events)
+    feat = _pit_feat(events)
     out = asof_join(left, feat, strategy="cogroup", strict=True)
     return out.select(
         "event_id", F.col("entity").alias("user_id"),
@@ -695,15 +718,8 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.skew import asof_join_bucketed
 
     events = _t(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("entity"), F.col("ts").alias("event_time"),
-        "event_id", F.round("value", 4).alias("value"),
-    )
-    feat = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
-        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
-    )
+    left = _pit_left(events)
+    feat = _pit_feat(events)
     out = asof_join_bucketed(left, feat, strict=True, bucket_seconds=86400)
     return out.select(
         "event_id", F.col("entity").alias("user_id"),
@@ -751,17 +767,8 @@ def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.skew import pit_fused_bucketed
 
     events = _t(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("entity"),
-        F.col("ts").alias("event_time"),
-        "event_id",
-        F.when(F.col("value") > 20, F.round("value", 4)).alias("v"),
-    )
-    feat = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
-        .agg(F.round(F.sum("value"), 4).alias("pv"))
-    )
+    left = _pit_left(events, null_inject=True)
+    feat = _pit_feat(events, alias="pv")
     out = pit_fused_bucketed(
         left, feat, strict=True,
         ffill_cols=["v"],
@@ -778,7 +785,7 @@ def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PIT_FUSED = """
+_DUCK_PIT_PREFIX = """
 WITH lev AS (
   SELECT user_id, ts, event_id,
          CASE WHEN value > 20 THEN round(value, 4) END AS v
@@ -792,7 +799,10 @@ WITH lev AS (
     SELECT pv FROM feat WHERE feat.user_id = lev.user_id AND feat.ts < lev.ts
     ORDER BY feat.ts DESC LIMIT 1
   ) f ON TRUE
-), roll AS (
+)"""
+
+ORACLE_PIT_FUSED = _DUCK_PIT_PREFIX + """
+, roll AS (
   SELECT *,
          count(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS hist,
@@ -837,17 +847,8 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.pit import pit_enrich
 
     events = _t(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("entity"),
-        F.col("ts").alias("event_time"),
-        "event_id",
-        F.when(F.col("value") > 20, F.round("value", 4)).alias("v"),
-    )
-    feat = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("entity"), F.col("ts").alias("feature_time"))
-        .agg(F.round(F.sum("value"), 4).alias("pv"))
-    )
+    left = _pit_left(events, null_inject=True)
+    feat = _pit_feat(events, alias="pv")
     out = pit_enrich(left, feat, strict=True, session_gap=1800, ffill_cols=["v"],
                      hot_threshold=50, bucket_seconds=86400)
     return out.select(
@@ -857,21 +858,8 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PIT_ENRICH = """
-WITH lev AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN value > 20 THEN round(value, 4) END AS v
-  FROM events WHERE event_type IN ('click', 'view')
-), feat AS (
-  SELECT user_id, ts, round(sum(value), 4) AS pv
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-), pit AS (
-  SELECT lev.*, f.pv
-  FROM lev LEFT JOIN LATERAL (
-    SELECT pv FROM feat WHERE feat.user_id = lev.user_id AND feat.ts < lev.ts
-    ORDER BY feat.ts DESC LIMIT 1
-  ) f ON TRUE
-), roll AS (
+ORACLE_PIT_ENRICH = _DUCK_PIT_PREFIX + """
+, roll AS (
   SELECT *,
          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
@@ -978,6 +966,7 @@ SELECT 'code' AS column,
 FROM events
 WHERE event_type NOT IN ('click', 'view')
   AND TRY_CAST(event_type AS BIGINT) IS NULL
+HAVING count(*) > 0
 """
 
 
@@ -1121,9 +1110,7 @@ FROM b
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact cosine top-10 neighbors for the first 5 vectors (brute force)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _queries_of(emb)
     return knn_bruteforce(queries, emb, k=10).select(
         "q_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
@@ -1168,11 +1155,11 @@ def _queries_of(emb: DataFrame) -> DataFrame:
     )
 
 
-def _recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int, min_hits: int) -> DataFrame:
-    """Per-query recall@k of an approximate ANN result against the exact set,
+def _recall_vs_exact(approx: DataFrame, exact: DataFrame, min_hits: int) -> DataFrame:
+    """Per-query recall of an approximate ANN result against the exact set,
     reduced to a booleans-only frame the DuckDB oracle can predict: the
-    approximate path must genuinely achieve ≥ min_hits/k recall for the row
-    to come out true."""
+    approximate path must genuinely hit ≥ min_hits of the exact neighbors
+    for the row to come out true."""
     hits = approx.join(
         exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi"
     )
@@ -1194,7 +1181,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _queries_of(emb)
     approx = knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
     exact = knn_bruteforce(queries, emb, k=10)
-    return _recall_vs_exact(approx, exact, k=10, min_hits=8)
+    return _recall_vs_exact(approx, exact, min_hits=8)
 
 
 ORACLE_ANN_RECALL = """
@@ -1216,7 +1203,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _queries_of(emb)
     approx = knn_lsh(queries, emb, k=10, n_planes=8, multiprobe=1)
     exact_top1 = knn_bruteforce(queries, emb, k=1)
-    return _recall_vs_exact(approx, exact_top1, k=1, min_hits=1)
+    return _recall_vs_exact(approx, exact_top1, min_hits=1)
 
 
 def q_take(spark: SparkSession, sf_dir: str) -> DataFrame:
