@@ -300,8 +300,15 @@ def _unescape(s: str) -> str:
 def _dyn_text(e: Column) -> Column:
     """Dynamic-column carrier → its scalar text: the carrier is the value's
     JSON serialization (see CompiledPipeline.run), so '$' unwraps it — bare
-    numbers/bools come back as their literal text, strings unquoted."""
-    return F.get_json_object(e, "$")
+    numbers/bools come back as their literal text, strings unquoted.
+
+    A dynamic value that went through a JsonPath step (dot/index access,
+    compiled to get_json_object) is ALREADY unwrapped when the payload was a
+    string scalar — get_json_object unquotes strings — so re-unwrapping plain
+    text like ``bob`` would parse-fail to null.  The coalesce falls back to
+    the raw carrier in that case, matching the reference Value model where
+    ``obj.name`` is simply the string (value.rs get_string)."""
+    return F.coalesce(F.get_json_object(e, "$"), e)
 
 
 def _dyn_as(e: Column, t: str | None, want: str) -> Column:

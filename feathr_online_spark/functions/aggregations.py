@@ -8,9 +8,13 @@ spill come for free.  Documented deltas (SURVEY.md §2.3):
 - ``avg``/``mean`` counts null rows in the denominator (aggregation/sum.rs:
   51-92) → sum/count(*) instead of F.avg;
 - ``every``/``any`` treat null as false (all_any.rs) → coalesce first;
-- ``array_agg`` keeps nulls in the reference, Spark collect_list drops them —
-  the common (non-null) case matches; the delta is documented here rather
-  than worked around with the struct-wrap trick.
+- ``array_agg``/``collect_list``/``collect_set``/``array_agg_if`` keep nulls
+  in the reference (array_agg.rs: feed() pushes every Value, including
+  Value::Null) where Spark's collect_list/collect_set drop them — replicated
+  via the struct-wrap trick (SURVEY §7.3.4): wrap each element in a non-null
+  struct so collect_list keeps it, then ``transform`` unwraps.  collect_set
+  additionally preserves the reference SetAgg's first-encounter dedup via
+  ``array_distinct`` over the wrapped list.
 """
 
 from __future__ import annotations
@@ -48,18 +52,50 @@ def _any(b) -> Column:
     return F.bool_or(F.coalesce(b, F.lit(False)))
 
 
+def _ignore_null_flag(ignore_null, name: str) -> bool:
+    # Spark's first/last take ignorenulls as a PLAN-TIME boolean; a
+    # column-valued flag (per-row ignore_null) cannot be honored, so raise
+    # instead of silently treating it as False (VERDICT r2 #6).
+    if isinstance(ignore_null, Column):
+        raise TypeError(
+            f"{name}(x, ignore_null): ignore_null must be a literal boolean, "
+            "not a column — Spark fixes the flag at plan time"
+        )
+    return bool(ignore_null)
+
+
 def _first(x, ignore_null=None) -> Column:
-    ign = bool(ignore_null) if not isinstance(ignore_null, Column) else False
-    return F.first(x, ignorenulls=ign)
+    return F.first(x, ignorenulls=_ignore_null_flag(ignore_null, "first"))
 
 
 def _last(x, ignore_null=None) -> Column:
-    ign = bool(ignore_null) if not isinstance(ignore_null, Column) else False
-    return F.last(x, ignorenulls=ign)
+    return F.last(x, ignorenulls=_ignore_null_flag(ignore_null, "last"))
+
+
+def _wrapped(x) -> Column:
+    x = x if isinstance(x, Column) else F.col(x)
+    return F.struct(x.alias("v"))
+
+
+def _unwrap(arr: Column) -> Column:
+    return F.transform(arr, lambda s: s["v"])
+
+
+def _array_agg(x) -> Column:
+    # reference ArrayAgg keeps nulls (array_agg.rs feed() pushes every value);
+    # collect_list drops them, so collect non-null STRUCTS and unwrap
+    return _unwrap(F.collect_list(_wrapped(x)))
+
+
+def _collect_set(x) -> Column:
+    # reference SetAgg: first-encounter dedup, null retained (array_agg.rs:52)
+    return F.array_distinct(_unwrap(F.collect_list(_wrapped(x))))
 
 
 def _array_agg_if(x, cond) -> Column:
-    return F.collect_list(F.when(cond, x))
+    # push x where cond is true — including null x (array_agg.rs:84-86); a
+    # false/null cond nulls the whole struct, which collect_list drops
+    return _unwrap(F.collect_list(F.when(cond, _wrapped(x))))
 
 
 _AGG_REGISTRY: dict[str, object] = {
@@ -85,9 +121,9 @@ _AGG_REGISTRY: dict[str, object] = {
     "first_value": _first,
     "last": _last,
     "last_value": _last,
-    "array_agg": F.collect_list,
-    "collect_list": F.collect_list,
-    "collect_set": F.collect_set,
+    "array_agg": _array_agg,
+    "collect_list": _array_agg,
+    "collect_set": _collect_set,
     "array_agg_if": _array_agg_if,
 }
 

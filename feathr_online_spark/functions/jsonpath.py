@@ -144,11 +144,16 @@ def spark_native_path(path: str) -> bool:
 
 def get_json_array_udf(path: str):
     """Vectorized ``get_json_array``: every JsonPath match as array<string>.
-    Invalid JSON / no match → empty array (error-as-value: the reference
-    raises a Value::Error, which the pipeline treats as null-ish)."""
+    Invalid JSON → null, no match → empty array (error-as-value: the
+    reference raises a Value::Error, which the pipeline treats as null-ish).
+
+    Single-location paths (fields/indexes only) whose one match is an array
+    unwrap into its elements — the same documented shim as the native fast
+    path in functions/registry.py, so ``$.a`` and ``$['a']`` agree."""
     from pyspark.sql.functions import pandas_udf
 
     steps = parse_path(path)  # parse once at plan-build; syntax errors fail fast
+    unwrap = all(op in ("field", "index") for op, _ in steps)
 
     def _batch(s):
         def run(x):
@@ -158,7 +163,10 @@ def get_json_array_udf(path: str):
                 doc = json.loads(x)
             except (ValueError, TypeError):
                 return None
-            return [_serialize(v) for v in select(doc, steps)]
+            hits = select(doc, steps)
+            if unwrap and len(hits) == 1 and isinstance(hits[0], list):
+                return [_serialize(v) for v in hits[0]]
+            return [_serialize(v) for v in hits]
 
         return s.map(run)
 

@@ -57,15 +57,47 @@ def _next_day_piper(x):
 
 def _get_json_array(col, path: str):
     """Reference get_json_array: ALL JsonPath matches as an array
-    (extract_json.rs:45-80, full JsonPath via jsonpath_lib).  One fast-path
-    special case stays native: a simple path addressing a JSON array unwraps
-    JVM-side; everything else (wildcards, recursive descent, slices, unions)
-    runs through the Arrow-vectorized evaluator in functions/jsonpath.py."""
+    (extract_json.rs:45-80, full JsonPath via jsonpath_lib).
+
+    One deliberate, documented delta: a single-location path (fields/indexes
+    only, e.g. ``$.a``) whose match IS an array unwraps into its elements —
+    so ``$.a`` and the reference-canonical ``$.a[*]`` agree — instead of the
+    reference's one-element array-of-array.  Both the native fast path and
+    the Arrow evaluator (functions/jsonpath.py) apply the same rule, and both
+    serialize elements identically: strings unquoted, objects/arrays compact
+    JSON, JSON null → 'null' (the evaluator's _serialize).
+
+    The fast path stays fully JVM-side: element extraction is a ``transform``
+    over ``$[i]`` sub-paths, so arrays of OBJECTS serialize correctly (the
+    old ``from_json(..., "array<string>")`` coerced them to null)."""
     from feathr_online_spark.functions import jsonpath as JP
 
     if JP.spark_native_path(path) and "*" not in path:
-        # path addresses one value; if that value is an array, unwrap it
-        return F.from_json(F.get_json_object(col, path), "array<string>")
+        c = _c(col)
+        raw = F.get_json_object(c, path)          # the single match, as text
+        nlen = F.json_array_length(raw)           # null unless it's an array
+        elems = F.transform(
+            F.sequence(F.lit(0), nlen - 1),
+            lambda i: F.coalesce(
+                # call_function: the python wrapper insists on a literal path,
+                # but the SQL function accepts a per-row path expression
+                F.call_function(
+                    "get_json_object", raw,
+                    F.concat(F.lit("$["), i.cast("string"), F.lit("]")),
+                ),
+                F.lit("null"),
+            ),
+        )
+        empty = F.array().cast("array<string>")
+        null_arr = F.lit(None).cast("array<string>")
+        valid = F.get_json_object(c, "$").isNotNull()  # invalid JSON → null (error-as-value)
+        return (
+            F.when(c.isNull() | ~valid, null_arr)
+            .when(raw.isNull(), empty)               # no match → []
+            .when(nlen == 0, empty)                  # match is [] (sequence(0,-1) would descend)
+            .when(nlen.isNotNull(), elems)           # match is an array → its elements
+            .otherwise(F.array(raw))                 # scalar/object match → one serialized element
+        )
     return JP.get_json_array_udf(path)(_c(col))
 
 

@@ -188,7 +188,25 @@ def _minhash_params(k: int, seed: int = 97531) -> list[tuple[int, int]]:
 
 
 def _wrap64(e: Column) -> Column:
-    return e  # non-ANSI Spark long arithmetic wraps like Java — documented intent
+    """Identity: non-ANSI Spark long arithmetic wraps like Java — documented
+    intent.  Under ANSI mode the same multiply-add would instead raise
+    ARITHMETIC_OVERFLOW on (essentially) every signature; minhash_signature
+    guards the session setting up front so external callers fail with a
+    clear message rather than a mid-job executor error."""
+    return e
+
+
+def _require_non_ansi() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and spark.conf.get("spark.sql.ansi.enabled", "false").lower() == "true":
+        raise RuntimeError(
+            "minhash_signature requires spark.sql.ansi.enabled=false: its affine "
+            "permutations rely on 64-bit wrap-around multiply-add, which ANSI mode "
+            "rejects as ARITHMETIC_OVERFLOW. Build the session via "
+            "feathr_online_spark.session.get_spark() or set the conf explicitly."
+        )
 
 
 def minhash_signature(shingle_arr: Column, k: int = 128) -> Column:
@@ -205,6 +223,7 @@ def minhash_signature(shingle_arr: Column, k: int = 128) -> Column:
     NB: the per-perm closure must be built by a factory — a ``lambda s, i=i``
     default arg makes PySpark treat the function as the 2-arg (element, index)
     transform variant, silently replacing the constant with the array index."""
+    _require_non_ansi()
     params = _minhash_params(k)
 
     def perm(a: int, b: int):

@@ -188,7 +188,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Explode RAWV video assets into BMP image rows, keeping every Nth
     frame — the decode-side of frame-sampling pipelines.  Output rows are
-    image assets (asset_id, frame index packed into the id ×1000)."""
+    image assets; the id packs (asset_id, frame index) as
+    ``asset_id * 10**9 + frame_index`` — wide enough that even a
+    multi-hour video (< 10^9 frames) can never collide with the next
+    asset's frame range."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -209,7 +212,7 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     h, w, _ = frames[i].shape
                     rows.append(
                         (
-                            r.asset_id * 1000 + i,
+                            r.asset_id * 10**9 + i,
                             "image",
                             codecs.encode_bmp(frames[i]),
                             "image/bmp",

@@ -252,3 +252,20 @@ def test_integral_division_exact_beyond_double(spark):
     p2 = parse_pipelines("t(a as int)\n| project q = a / 2, d = a div 2\n;")["t"]
     r2 = p2.run(spark, [{"a": -7}]).collect()[0]
     assert r2.q == -3 and r2.d == -3
+
+
+def test_dynamic_string_payload_chained(spark):
+    """ADVICE r2 (high): a JsonPath access already unwraps string scalars
+    (get_json_object unquotes), so chaining the still-'dynamic' result into
+    concat/comparison must NOT re-unwrap it to null.  Reference Value model:
+    obj.name + "!" == "bob!", arr[0] == "p" is true."""
+    p = parse_pipelines(
+        't(obj, arr)\n'
+        '| project greet = obj.name + "!", is_p = arr[0] == "p", '
+        'both = obj.name + arr[1]\n'
+        ';'
+    )["t"]
+    r = p.run(spark, [{"obj": {"name": "bob"}, "arr": ["p", "q"]}]).collect()[0]
+    assert r.greet == "bob!"
+    assert r.is_p is True
+    assert r.both == "bobq"

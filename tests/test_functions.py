@@ -79,3 +79,56 @@ def test_strftime_bridge(spark):
     assert strftime_to_java("%Y/%-m/%-d %-H:%-M") == "yyyy/M/d H:m"
     ts = one(spark, pf.timestamp_strftime(F.lit("2023/7/4 9:5"), "%Y/%-m/%-d %-H:%-M"))
     assert (ts.year, ts.month, ts.day, ts.hour, ts.minute) == (2023, 7, 4, 9, 5)
+
+
+def test_array_agg_retains_nulls(spark):
+    """Reference ArrayAgg/SetAgg/ArrayAggIf keep nulls (aggregation/
+    array_agg.rs: feed() pushes every Value); Spark's collect_list/set drop
+    them — the struct-wrap replication must retain them (VERDICT r2 #4)."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.functions.aggregations import agg_fn
+
+    df = spark.createDataFrame(
+        [(1, None, True), (2, "a", True), (3, None, False), (4, "a", True), (5, "b", None)],
+        "id int, v string, keep boolean",
+    ).coalesce(1).orderBy("id")
+    row = df.agg(
+        agg_fn("array_agg")(F.col("v")).alias("lst"),
+        agg_fn("collect_set")(F.col("v")).alias("st"),
+        agg_fn("array_agg_if")(F.col("v"), F.col("keep")).alias("lst_if"),
+    ).collect()[0]
+    assert row.lst == [None, "a", None, "a", "b"]
+    # SetAgg: first-encounter order, null retained, dup 'a' collapsed
+    assert row.st == [None, "a", "b"]
+    # ArrayAggIf: cond true keeps the value EVEN IF NULL; false/null cond drops
+    assert row.lst_if == [None, "a", "a"]
+
+
+def test_first_last_column_flag_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.functions.aggregations import agg_fn
+
+    for name in ("first", "last"):
+        with pytest.raises(TypeError, match="literal boolean"):
+            agg_fn(name)(F.col("x"), F.col("flag"))
+        # literal flags still work
+        agg_fn(name)(F.col("x"), True)
+
+
+def test_minhash_requires_non_ansi(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.dedup import minhash_signature
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    minhash_signature(F.col("s"))  # fine under the engine session
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(RuntimeError, match="wrap-around"):
+            minhash_signature(F.col("s"))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -149,3 +149,34 @@ def test_get_json_object_wildcard_first_match(spark):
     df = spark.createDataFrame([('{"a": [{"b": 1}, {"b": 2}]}',)], "j string")
     out = df.select(fn("get_json_object")(F.col("j"), "$.a[*].b").alias("v")).collect()[0]
     assert out.v == "1"
+
+
+def test_get_json_array_object_elements_consistent(spark):
+    """ADVICE r2 (medium): $.a (native fast path) and $['a'] (evaluator)
+    must agree, including arrays of OBJECTS — the old from_json coercion
+    nulled non-scalar elements."""
+    df = spark.createDataFrame(
+        [('{"items": [{"a": 1}, {"b": "x"}], "scalars": ["x", "y"], '
+          '"one": 5, "empty": [], "mixed": [1, "s", null, [2]]}',)],
+        "j string",
+    )
+    out = df.select(
+        fn("get_json_array")(F.col("j"), "$.items").alias("objs_native"),
+        fn("get_json_array")(F.col("j"), "$['items']").alias("objs_eval"),
+        fn("get_json_array")(F.col("j"), "$.scalars").alias("scal_native"),
+        fn("get_json_array")(F.col("j"), "$['scalars']").alias("scal_eval"),
+        fn("get_json_array")(F.col("j"), "$.one").alias("one_native"),
+        fn("get_json_array")(F.col("j"), "$['one']").alias("one_eval"),
+        fn("get_json_array")(F.col("j"), "$.empty").alias("empty_native"),
+        fn("get_json_array")(F.col("j"), "$['empty']").alias("empty_eval"),
+        fn("get_json_array")(F.col("j"), "$.missing").alias("miss_native"),
+        fn("get_json_array")(F.col("j"), "$['missing']").alias("miss_eval"),
+        fn("get_json_array")(F.col("j"), "$.mixed").alias("mixed_native"),
+        fn("get_json_array")(F.col("j"), "$['mixed']").alias("mixed_eval"),
+    ).collect()[0]
+    assert out.objs_native == out.objs_eval == ['{"a":1}', '{"b":"x"}']
+    assert out.scal_native == out.scal_eval == ["x", "y"]
+    assert out.one_native == out.one_eval == ["5"]
+    assert out.empty_native == out.empty_eval == []
+    assert out.miss_native == out.miss_eval == []
+    assert out.mixed_native == out.mixed_eval == ["1", "s", "null", "[2]"]

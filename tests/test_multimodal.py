@@ -106,7 +106,7 @@ def test_sample_frames_real(spark):
     assert out and all(r.kind == "image" and r.mime == "image/bmp" for r in out)
     # each sampled frame decodes to the video's dimensions
     for r in out:
-        src = vids[r.asset_id // 1000]
+        src = vids[r.asset_id // 10**9]
         decoded = codecs.decode_bmp(bytes(r.payload))
         assert decoded.shape == (src.height, src.width, 3)
     # every 2nd frame of each video

@@ -95,8 +95,10 @@ def test_join_golden_exact(spark):
     got = {r.id: (r.avg_age, sorted(r.names)) for r in out.collect()}
     assert got[1] == (31.0, ["Jack", "Jane", "John"])
     assert got[2] == (33.5, ["Jill", "Jose"])
-    # left-outer keeps id=3 with null age; piper avg = sum/count(*) → null/1 = None
-    assert 3 in got and got[3][1] == []
+    # left-outer keeps id=3 with null age; piper avg = sum/count(*) → null/1 = None.
+    # array_agg feeds the outer-join's null name too (array_agg.rs: feed()
+    # pushes every Value), so the reference yields [null] — not [] — here.
+    assert 3 in got and got[3][1] == [None]
 
 
 def test_aggregation_golden_vectors(spark):
