@@ -1415,6 +1415,65 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSL_GATE_SCRIPT = """
+# end-to-end DSL pipeline over the events table (props is a Dynamic column):
+# where → project (piper functions + JsonPath access) → lookup → computed-key
+# summarize → post-agg project → top.  Exercises the full parser/compiler
+# surface of dsl.py against the reference grammar (dsl_parser.rs:10-337).
+evpipe(event_id as long, user_id as long, event_type as string, value as double, props)
+| where (event_type == "purchase") or (event_type == "view")
+| project uid = user_id % 5,
+          k = props.k,
+          vlabel = upper(substring(event_type, 0, 4)),
+          v = value
+| lookup rname = n_name from nations on uid
+| summarize n = count(), total = sum(v), mx = max(v)
+  by bucket = k % 10, rname, vlabel
+| project total_r = round(total, 4), mx_r = round(mx, 4)
+| project-keep bucket, rname, vlabel, n, total_r, mx_r
+| top 20 by total_r desc
+;
+"""
+
+
+def q_dsl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL front end end-to-end: parse_pipelines() a realistic script —
+    where/project with piper functions (0-based substring, long %), a Dynamic
+    column parsed on use (props.k via JsonPath), a lookup from a registered
+    source, a computed-key summarize, and top — then apply it to the events
+    parquet.  The whole pipeline compiles to ONE Catalyst plan (broadcast
+    lookup join, partial+final hash agg, TakeOrderedAndProject for top)."""
+    from feathr_online_spark.dsl import parse_pipelines
+
+    events = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    p = parse_pipelines(_DSL_GATE_SCRIPT)["evpipe"]
+    return p.apply(events, {"nations": (nation, "n_nationkey")})
+
+
+ORACLE_DSL_PIPELINE = """
+WITH filt AS (
+  SELECT user_id % 5 AS uid,
+         CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT) % 10 AS bucket,
+         upper(substr(event_type, 1, 4)) AS vlabel,
+         value AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+), j AS (
+  SELECT f.*, n.n_name AS rname
+  FROM filt f JOIN nation n ON f.uid = n.n_nationkey
+)
+SELECT bucket, rname, vlabel,
+       count(*) AS n,
+       round(sum(v), 4) AS total_r,
+       round(max(v), 4) AS mx_r
+FROM j
+GROUP BY bucket, rname, vlabel
+ORDER BY total_r DESC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1472,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_callable": q_lookup_callable,
         "decontaminate": q_decontaminate,
         "prepare_corpus": q_prepare_corpus,
+        "dsl_pipeline": q_dsl_pipeline,
     }
 
 
@@ -1522,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "lookup_callable": ORACLE_LOOKUP_CALLABLE,
         "decontaminate": ORACLE_DECONTAMINATE,
         "prepare_corpus": ORACLE_PREPARE_CORPUS,
+        "dsl_pipeline": ORACLE_DSL_PIPELINE,
         # dedup_simhash, multimodal: intentionally no oracle (engine-specific
         # hashing / binary+UDF) → driver rows-only check
     }
