@@ -742,22 +742,42 @@ def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approximate sketches for 100 TB-scale profiling: HLL distinct users and
-    approx quantiles of value per event type (no cross-engine oracle — sketch
-    internals are engine-specific; accuracy asserted in pytest vs exact)."""
+    """approximate sketches for 100 TB-scale profiling, gated with in-query
+    tolerance booleans (the ann_ivf recall pattern): the sketch ESTIMATES are
+    engine-specific, so the query computes exact counts/quantiles alongside
+    and emits `ok` flags plus the exact values — all of which DuckDB can
+    reproduce.  hll_ok: Datasketches HLL (lgK=12, ~1.6% stderr) within 5%+2;
+    hllpp_ok: HyperLogLog++ (default 5% rsd) within 15%+2; p50_ok:
+    percentile_approx(10k) within 1%+0.01 of the exact median."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
-        F.approx_count_distinct("user_id").alias("approx_users_hllpp"),
-        # stringified: the driver's pandas canon can't hash ndarray cells
-        F.array_join(
-            F.transform(
-                F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000),
-                lambda x: F.round(x, 4).cast("string"),
-            ),
-            ",",
-        ).alias("value_quantiles"),
+    est = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_hll"),
+        F.approx_count_distinct("user_id").alias("_hllpp"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_p50a"),
+        F.expr("percentile(value, 0.5D)").alias("_p50"),
     )
+    u = F.col("exact_users").cast("double")
+    return est.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("_hll") - u) <= u * 0.05 + 2).alias("hll_ok"),
+        (F.abs(F.col("_hllpp") - u) <= u * 0.15 + 2).alias("hllpp_ok"),
+        F.round("_p50", 4).alias("p50"),
+        (F.abs(F.col("_p50a") - F.col("_p50")) <= F.abs(F.col("_p50")) * 0.01 + 0.01).alias("p50_ok"),
+    )
+
+
+ORACLE_SKETCHES = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_ok,
+       true AS hllpp_ok,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       true AS p50_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,10 +1044,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """near-dup pairs by 64-bit SimHash hamming ≤ 3 (no SQL oracle — xxhash64
-    is Spark-specific; correctness covered by planted-dup pytest goldens)."""
+    """SimHash near-dup detection, gated by RECALL against the exact pair
+    set (the planted-dup pattern, checked in-query): the raw pairs carry
+    engine-specific xxhash64 values, but the recall of hamming≤6 SimHash
+    candidates over exact word-3-gram-Jaccard ≥ 0.8 pairs is an
+    engine-independent quality bar — measured 0.93/1.0/0.93 at
+    sf0.001/0.01/0.1, so the ≥ 0.85 gate has margin.  The oracle reproduces
+    n_strong_pairs exactly and pins recall_ok = true."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    found = simhash_pairs(docs, "text", "doc_id", max_hamming=6).select("a", "b")
+    strong = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select("a", "b")
+    hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_strong_pairs"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+         >= F.count(F.lit(1)) * 0.85).alias("recall_ok"),
+    )
+
+
+ORACLE_DEDUP_SIMHASH = _DUCK_SHINGLES + """
+SELECT count(*) AS n_strong_pairs, true AS recall_ok
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
+            / len(list_distinct(list_concat(a.sg, b.sg))), 4) >= 0.8
+"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,7 +1217,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path must actually deliver the recall for the row to match."""
     from feathr_online_spark.operators.similarity import knn_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # the gate intentionally runs THREE consumers over the corpus (IVF
+    # training actions, the probe join, the exact verify leg) — persist the
+    # slim table once so they share one scan (bench hygiene, VERDICT r2 #8);
+    # it is a few MB at any gate scale, and the one legitimate verify-path
+    # use of caching
+    emb = _t(spark, sf_dir, "embeddings").persist()
     queries = _queries_of(emb)
     approx = knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
     exact = knn_bruteforce(queries, emb, k=10)
@@ -1404,15 +1449,56 @@ SELECT id, least(id, min(reach)) AS cluster FROM walk GROUP BY id
 """
 
 
+_MULTIMODAL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "multimodal_assets.parquet"
+)
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """multimodal plumbing: synthetic binary assets → mapInPandas feature
-    extraction (deterministic fake decoder; no SQL oracle — binary/UDF)."""
-    assets = synth_assets(spark, n=96)
+    """multimodal pipeline under a REAL oracle: deterministic binary assets
+    are materialized to a parquet fixture (idempotent pyarrow write — both
+    this query and oracle_sql() ensure it), Spark decodes every payload with
+    the stdlib codecs via mapInPandas, and per-kind aggregates carry an
+    in-query invariant: the DECODED dimensions/duration must match the
+    sibling metadata columns (image w/h from the BMP header, wav rate 8000 +
+    duration within 1 ms, video w/h + frame count from the RAWV header).
+    DuckDB reproduces n and total_bytes from octet_length(payload) and pins
+    meta_ok = true."""
+    from feathr_online_spark.operators.multimodal import write_asset_fixture
+
+    write_asset_fixture(_MULTIMODAL_FIXTURE, n=96)
+    _prep(spark)
+    assets = spark.read.parquet(_MULTIMODAL_FIXTURE)
     feats = extract_features(assets)
-    return feats.groupBy("kind").agg(
+    j = feats.join(
+        F.broadcast(assets.select("asset_id", "width", "height", "duration_ms")),
+        "asset_id",
+    )
+    f = F.col("features")
+    w, h = f[0].cast("double"), f[1].cast("double")
+    meta_ok = (
+        F.when(F.col("kind") == "image",
+               (w == F.col("width")) & (h == F.col("height")))
+        .when(F.col("kind") == "audio",
+              (w == 8000.0)
+              & (F.abs(h * 1000.0 - F.col("duration_ms")) <= 1.0))
+        .otherwise((w == F.col("width")) & (h == F.col("height"))
+                   & (f[3].cast("double") * 100.0 == F.col("duration_ms")))
+    )
+    return j.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.bool_and(meta_ok).alias("meta_ok"),
     )
+
+
+ORACLE_MULTIMODAL = f"""
+SELECT kind, count(*) AS n,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       true AS meta_ok
+FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+GROUP BY kind
+"""
 
 
 _DSL_GATE_SCRIPT = """
@@ -1536,6 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the multimodal oracle reads a generated parquet fixture: ensure it
+    # exists whichever side (Spark query / DuckDB oracle) runs first
+    from feathr_online_spark.operators.multimodal import write_asset_fixture
+
+    write_asset_fixture(_MULTIMODAL_FIXTURE, n=96)
     return {
         "asof_purchase": ORACLE_ASOF_PURCHASE,
         "where_project": ORACLE_WHERE_PROJECT,
@@ -1565,9 +1656,10 @@ def oracle_sql() -> dict[str, str]:
         "pit_fused": ORACLE_PIT_FUSED,
         "pit_enrich": ORACLE_PIT_ENRICH,
         "registered_udf": ORACLE_REGISTERED_UDF,
-        # sketches: intentionally no oracle (sketch estimates are
-        # engine-specific; pytest asserts accuracy vs exact counts)
+        "sketches": ORACLE_SKETCHES,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "multimodal": ORACLE_MULTIMODAL,
         "dedup_ngram": _DUCK_JACCARD_PAIRS,
         "dedup_minhash": _DUCK_JACCARD_PAIRS,
         "lang_id": ORACLE_LANG_ID,
@@ -1583,6 +1675,4 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "prepare_corpus": ORACLE_PREPARE_CORPUS,
         "dsl_pipeline": ORACLE_DSL_PIPELINE,
-        # dedup_simhash, multimodal: intentionally no oracle (engine-specific
-        # hashing / binary+UDF) → driver rows-only check
     }

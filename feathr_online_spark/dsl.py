@@ -477,6 +477,18 @@ class ExprCompiler:
                 return pyop(a, b), "boolean"
         if kind == "call":
             name = ast[1]
+            # len/length dispatch on the STATIC type (reference len.rs: Array
+            # → element count, String → char count; the registry's Column
+            # builder can't see types, but the DSL tracks them)
+            if name.lower() in ("len", "length") and len(ast[2]) == 1:
+                c, ct = self.compile(ast[2][0])
+                if ct == "array":
+                    return F.array_size(c), "int"
+                if ct == "dynamic":
+                    # runtime dispatch on the JSON carrier: array payload →
+                    # element count, anything else → length of the scalar text
+                    return F.coalesce(F.json_array_length(c), F.length(_dyn_text(c))).cast("int"), "int"
+                return F.length(c), "int"
             # strftime-format functions take the format as a python string
             if name.lower() in ("to_unix_timestamp", "unix_timestamp", "timestamp") and len(ast[2]) == 2 and ast[2][1][0] == "str":
                 first, _ = self.compile(ast[2][0])

@@ -174,9 +174,11 @@ def _timestamp(x, fmt=None, tz=None):
 
 
 def _piper_len(x):
-    """Reference len/length works on strings AND arrays (len.rs).  At build
-    time we can't see the type, so try string length; callers with arrays
-    should use 'size'/'array_size'."""
+    """Reference len/length works on strings AND arrays (len.rs).  A Column
+    builder can't see the input type, so this registry entry is string
+    length; callers with arrays should use 'size'/'array_size'.  The DSL
+    path (dsl.py ExprCompiler) DOES track static types and dispatches
+    len/length to array_size for array-typed and dynamic-array operands."""
     return F.length(x)
 
 

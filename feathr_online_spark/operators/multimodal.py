@@ -226,9 +226,11 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.filter(F.col("kind") == "video").mapInPandas(run, ASSET_SCHEMA)
 
 
-def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic REAL asset table: BMP images, PCM16 WAV clips, RAWV
-    videos — genuinely decodable payloads generated from the asset id."""
+def synth_asset_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic asset rows (plain tuples matching ASSET_SCHEMA) — shared
+    by synth_assets (Spark) and the parquet fixture writer (pyarrow), so the
+    correctness gate's Spark input and DuckDB oracle input are the same table
+    whichever side materializes it first."""
     import numpy as np
 
     from feathr_online_spark.operators import codecs
@@ -253,4 +255,47 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
             frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
             rows.append((i, kind, codecs.encode_rawv(frames, fps=10), "video/x-rawv",
                          w, h, int(nf * 100)))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic REAL asset table: BMP images, PCM16 WAV clips, RAWV
+    videos — genuinely decodable payloads generated from the asset id."""
+    return spark.createDataFrame(synth_asset_rows(n, seed), ASSET_SCHEMA)
+
+
+def write_asset_fixture(path: str, n: int = 96, seed: int = 42) -> str:
+    """Materialize synth_asset_rows as ONE parquet file (pyarrow, no Spark) —
+    idempotent and atomic (temp file + rename), so the Spark gate query and
+    the DuckDB oracle can both ensure it exists without racing."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = synth_asset_rows(n, seed)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "asset_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1], pa.string()),
+            "payload": pa.array(cols[2], pa.binary()),
+            "mime": pa.array(cols[3], pa.string()),
+            "width": pa.array(cols[4], pa.int64()),
+            "height": pa.array(cols[5], pa.int64()),
+            "duration_ms": pa.array(cols[6], pa.int64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)  # atomic on POSIX; loser of a race just overwrites
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path

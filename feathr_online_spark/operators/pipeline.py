@@ -181,6 +181,7 @@ class Pipeline:
         fields: Mapping[str, str] | list[str],
         tiebreak: str | None = None,
         broadcast_hint: bool = True,
+        persist_probe: bool = False,
     ) -> "Pipeline":
         """1:1 enrich: left join keeping exactly one source row per key.
 
@@ -198,9 +199,13 @@ class Pipeline:
 
         ``source`` may also be a CallableSource (the Python lookup-function
         surface, python/src/lib.rs:56-158): it is materialized against THIS
-        side's distinct probe keys before the join.
+        side's distinct probe keys before the join — which makes the probe
+        plan a TWO-consumer plan (key harvest + join).  ``persist_probe=True``
+        materializes the probe once (eager localCheckpoint) so an expensive
+        upstream is never computed twice; off by default — the engine never
+        silently caches data it cannot size.
         """
-        source = self._materialize_source(source, on)
+        base, source = self._materialize_source(source, on, persist_probe)
         if isinstance(fields, list):
             fields = {f: f for f in fields}
         order = F.col(tiebreak) if tiebreak else F.col(key)
@@ -213,7 +218,7 @@ class Pipeline:
         if broadcast_hint:
             dim = F.broadcast(dim)
         key_expr = _as_column(on)
-        joined = self.df.join(dim, key_expr == F.col("__lk_key"), "left").drop("__lk_key")
+        joined = base.join(dim, key_expr == F.col("__lk_key"), "left").drop("__lk_key")
         return Pipeline(joined)
 
     def join(
@@ -224,14 +229,16 @@ class Pipeline:
         key: str,
         fields: Mapping[str, str] | list[str],
         broadcast_hint: bool = False,
+        persist_probe: bool = False,
     ) -> "Pipeline":
         """1:N lookup join. ``kind`` ∈ {left-inner, left-outer}
         (lookup_transformation.rs:232-272).  Plain equi-join — Catalyst picks
-        broadcast-hash vs sort-merge, AQE fixes skew at runtime."""
+        broadcast-hash vs sort-merge, AQE fixes skew at runtime.
+        ``persist_probe`` as in :meth:`lookup` (CallableSource only)."""
         how = {"left-inner": "inner", "left-outer": "left"}.get(kind)
         if how is None:
             raise PipelineError(f"join: unknown kind '{kind}'")
-        source = self._materialize_source(source, on)
+        base, source = self._materialize_source(source, on, persist_probe)
         if isinstance(fields, list):
             fields = {f: f for f in fields}
         dim = source.select(
@@ -240,23 +247,28 @@ class Pipeline:
         if broadcast_hint:
             dim = F.broadcast(dim)
         key_expr = _as_column(on)
-        return Pipeline(self.df.join(dim, key_expr == F.col("__lk_key"), how).drop("__lk_key"))
+        return Pipeline(base.join(dim, key_expr == F.col("__lk_key"), how).drop("__lk_key"))
 
-    def _materialize_source(self, source, on: Column | str):
+    def _materialize_source(self, source, on: Column | str, persist_probe: bool = False):
         """CallableSource → DataFrame of (key, fields) over this side's
-        distinct probe keys; DataFrames pass through.
+        distinct probe keys; DataFrames pass through.  Returns
+        ``(probe_df, source_df)`` — the probe comes back because
+        ``persist_probe`` may have replaced it with a materialized copy.
 
         NB: the key harvest is a second consumer of this side's plan — an
         expensive probe side upstream of a callable lookup executes twice
-        (once for keys, once for the join) unless the caller persists it
-        first.  Kept explicit rather than auto-persisting: the engine never
-        silently caches data it cannot size."""
+        (once for keys, once for the join) unless ``persist_probe=True``
+        snapshots it (eager localCheckpoint: guaranteed single execution,
+        unlike persist(), which two subtrees of ONE job can still race).
+        Off by default: the engine never silently caches data it cannot
+        size."""
         from feathr_online_spark.sources.registry import CallableSource
 
         if isinstance(source, CallableSource):
-            keys = self.df.select(_as_column(on).alias(source.key)).distinct()
-            return source.materialize(keys)
-        return source
+            base = self.df.localCheckpoint(eager=True) if persist_probe else self.df
+            keys = base.select(_as_column(on).alias(source.key)).distinct()
+            return base, source.materialize(keys)
+        return self.df, source
 
     # -- error-as-value (SURVEY.md §1.4) -------------------------------------
 
