@@ -38,13 +38,16 @@ BASE_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 F_VEC_DIM = 8
 
 
-def gen_sequences(n_rows: int, seed: int = SEED, hot_frac: float | None = None) -> pa.Table:
+def gen_sequences(n_rows: int, seed: int = SEED, hot_frac: float | None = None,
+                  n_docs: int | None = None, n_entities: int | None = None) -> pa.Table:
     """``hot_frac``: override the Zipf head — force that fraction of all rows
     onto doc/entity 0 (extreme-skew fixtures for the scaling experiments;
-    None keeps the default Zipf(1.3) head of ~25%)."""
+    None keeps the default Zipf(1.3) head of ~25%).  ``n_docs``/``n_entities``
+    pin the GLOBAL id spaces when a large fixture is generated in chunks
+    (write_fixture) so the key distributions match a single-shot generation."""
     rng = np.random.default_rng(seed)
     # Zipf-skewed doc ids: a few hot documents repeat many times.
-    n_docs = max(n_rows // 4, 1)
+    n_docs = n_docs if n_docs is not None else max(n_rows // 4, 1)
     ranks = rng.zipf(1.3, size=n_rows)
     doc_idx = np.minimum(ranks - 1, n_docs - 1).astype(np.int64)
     if hot_frac is not None:
@@ -59,7 +62,8 @@ def gen_sequences(n_rows: int, seed: int = SEED, hot_frac: float | None = None) 
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), pa.array(flat))
 
     source = SOURCES[rng.choice(len(SOURCES), size=n_rows, p=SOURCE_P)]
-    n_entities = max(n_rows * N_ENTITIES_PER_1K // 1000, 4)
+    if n_entities is None:
+        n_entities = max(n_rows * N_ENTITIES_PER_1K // 1000, 4)
     entity = (doc_idx % n_entities).astype(np.int64)
     # minute-granularity timestamps over ~30 days → deliberate ties
     minutes = rng.integers(0, 30 * 24 * 60, size=n_rows, dtype=np.int64)
@@ -112,8 +116,31 @@ def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None,
     # 64k-row groups: a single-row-group file collapses Spark's scan to one
     # task regardless of spark.sql.files.maxPartitionBytes (splits can't cross
     # row-group boundaries) — this keeps the scan parallel.
+    # beyond ~4M rows the flattened token array exceeds Arrow's 32-bit list
+    # offsets (~2^31 elements) and a single-shot table also costs tens of GB
+    # of RAM — stream 2M-row chunks through one ParquetWriter instead, with
+    # the doc/entity id spaces pinned to the GLOBAL size so the Zipf shape
+    # matches single-shot generation
+    chunk = 2_000_000
     if not os.path.exists(seq_path):
-        pq.write_table(gen_sequences(n_seq, hot_frac=hot_frac), seq_path, row_group_size=65536)
+        if n_seq <= chunk:
+            pq.write_table(gen_sequences(n_seq, hot_frac=hot_frac), seq_path, row_group_size=65536)
+        else:
+            tmp = seq_path + ".tmp"
+            writer = None
+            try:
+                for ci, start in enumerate(range(0, n_seq, chunk)):
+                    t = gen_sequences(
+                        min(chunk, n_seq - start), seed=SEED + ci, hot_frac=hot_frac,
+                        n_docs=max(n_seq // 4, 1), n_entities=n_entities,
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, t.schema)
+                    writer.write_table(t, row_group_size=65536)
+            finally:
+                if writer is not None:
+                    writer.close()
+            os.replace(tmp, seq_path)
     if not os.path.exists(feat_path):
         pq.write_table(gen_features(n_feat, n_entities), feat_path, row_group_size=65536)
     return {"sequences": seq_path, "features": feat_path}
