@@ -173,6 +173,18 @@ def _timestamp(x, fmt=None, tz=None):
     return F.unix_timestamp(t).cast("double")
 
 
+def _array_contains_piper(arr, v):
+    """Reference array_contains is a plain equality scan (array_functions.rs
+    test: contains(arr, null) = FALSE, contains(arr-with-null, missing) =
+    FALSE), where Spark's SQL semantics yield NULL in both cases.  Coalesce
+    to false — but only when the array itself is non-null (a null array stays
+    null, the error-as-value convention)."""
+    arr = _c(arr)
+    return F.when(arr.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.coalesce(F.array_contains(arr, v), F.lit(False))
+    )
+
+
 def _piper_len(x):
     """Reference len/length works on strings AND arrays (len.rs).  A Column
     builder can't see the input type, so this registry entry is string
@@ -253,7 +265,7 @@ _REGISTRY: dict[str, object] = {
     "unix_date": F.unix_date, "unix_micros": F.unix_micros,
     "unix_millis": F.unix_millis, "unix_seconds": F.unix_seconds,
     # --- array (array_functions.rs, misc_functions.rs:306-359, len.rs) ---
-    "array": F.array, "array_contains": F.array_contains,
+    "array": F.array, "array_contains": _array_contains_piper,
     "array_distinct": F.array_distinct, "array_except": F.array_except,
     "array_intersect": F.array_intersect, "array_join": F.array_join,
     "array_max": F.array_max, "array_min": F.array_min,

@@ -312,3 +312,30 @@ def test_datetime_string_comparison(spark):
             {"ts": datetime.datetime(2024, 1, 1, 13)}]
     got = p.run(spark, rows).collect()
     assert len(got) == 1 and got[0].ts.hour == 13
+
+
+def test_array_and_typeconv_golden_vectors(spark):
+    """array_functions.rs + type_conv.rs unit-test vectors: array_distinct
+    retains null; array_contains is an equality scan (null probe → false,
+    missing probe in a null-carrying array → false — Spark's SQL semantics
+    say null for both, so the registry wraps it); int() truncates toward
+    zero like Rust `as` (type_conv.rs test: int(1.2) = 1)."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3))
+    arr_n = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(None).cast("int"))
+    assert one(fn("array_distinct")(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(2)))) == [1, 2, 3]
+    assert one(fn("array_distinct")(arr_n)) == [1, 2, 3, None]
+    assert one(fn("array_contains")(arr, F.lit(2))) is True
+    assert one(fn("array_contains")(arr, F.lit(4))) is False
+    assert one(fn("array_contains")(arr, F.lit(None).cast("int"))) is False
+    assert one(fn("array_contains")(arr_n, F.lit(4))) is False
+    assert one(fn("array_contains")(F.lit(None).cast("array<int>"), F.lit(4))) is None
+    assert one(fn("array_except")(arr, F.array(F.lit(2), F.lit(3)))) == [1]
+    assert one(fn("array_intersect")(arr, F.array(F.lit(2), F.lit(3)))) == [2, 3]
+    assert one(fn("int")(F.lit(1.2))) == 1
+    assert one(fn("int")(F.lit(-1.7))) == -1  # truncation toward zero, not floor
+    assert one(fn("bigint")(F.lit("42"))) == 42
