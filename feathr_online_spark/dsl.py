@@ -489,6 +489,14 @@ class ExprCompiler:
                     # element count, anything else → length of the scalar text
                     return F.coalesce(F.json_array_length(c), F.length(_dyn_text(c))).cast("int"), "int"
                 return F.length(c), "int"
+            # to_json of a dynamic value IS its carrier: the carrier already
+            # holds the value's compact-JSON serialization (strings quoted,
+            # like the reference's serde to_string — to_json.rs:16-25)
+            if name.lower() == "to_json" and len(ast[2]) == 1:
+                c, ct = self.compile(ast[2][0])
+                if ct == "dynamic":
+                    return c, "string"
+                return lookup_fn("to_json")(c), "string"
             # strftime-format functions take the format as a python string
             if name.lower() in ("to_unix_timestamp", "unix_timestamp", "timestamp") and len(ast[2]) == 2 and ast[2][1][0] == "str":
                 first, _ = self.compile(ast[2][0])

@@ -185,6 +185,22 @@ def _array_contains_piper(arr, v):
     )
 
 
+def _to_json_piper(x):
+    """Reference to_json serializes ANY value to compact JSON — scalars
+    included: to_json(5)='5', to_json("a")='"a"' (to_json.rs:16-25, serde
+    to_string).  Spark's to_json only accepts struct/map/array, so wrap the
+    value in a one-field struct, serialize natively, and strip the literal
+    '{"v":' wrapper with an anchored extract (inner content may contain any
+    braces/quotes — the anchors make the capture exact).  A null input
+    serializes to 'null' like serde, where the struct trick would drop the
+    field."""
+    x = _c(x)
+    wrapped = F.to_json(F.struct(x.alias("v")))
+    return F.when(x.isNull(), F.lit("null")).otherwise(
+        F.regexp_extract(wrapped, r'^\{"v":(.*)\}$', 1)
+    )
+
+
 def _piper_len(x):
     """Reference len/length works on strings AND arrays (len.rs).  A Column
     builder can't see the input type, so this registry entry is string
@@ -282,7 +298,7 @@ _REGISTRY: dict[str, object] = {
     # --- JSON (extract_json.rs, to_json.rs, misc_functions.rs:275-304) ---
     "get_json_object": _get_json_object, "get_json_array": _get_json_array,
     "json_array_length": F.json_array_length, "json_object_keys": F.json_object_keys,
-    "to_json": F.to_json,
+    "to_json": _to_json_piper,
     # --- regex (regexp.rs) ---
     "regexp": F.regexp_like, "regexp_like": F.regexp_like,
     "regexp_extract": F.regexp_extract, "regexp_extract_all": F.regexp_extract_all,

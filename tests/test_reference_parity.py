@@ -339,3 +339,25 @@ def test_array_and_typeconv_golden_vectors(spark):
     assert one(fn("int")(F.lit(1.2))) == 1
     assert one(fn("int")(F.lit(-1.7))) == -1  # truncation toward zero, not floor
     assert one(fn("bigint")(F.lit("42"))) == 42
+
+
+def test_to_json_golden_vectors(spark):
+    """to_json.rs:16-25: to_json serializes ANY value via serde to_string —
+    scalars included (Spark's native to_json rejects them)."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    assert one(fn("to_json")(F.lit(5))) == "5"
+    assert one(fn("to_json")(F.lit(1.5))) == "1.5"
+    assert one(fn("to_json")(F.lit(True))) == "true"
+    assert one(fn("to_json")(F.lit("a"))) == '"a"'
+    assert one(fn("to_json")(F.lit('say "hi" {ok}'))) == '"say \\"hi\\" {ok}"'
+    assert one(fn("to_json")(F.lit(None).cast("int"))) == "null"
+    assert one(fn("to_json")(F.array(F.lit(1), F.lit(2)))) == "[1,2]"
+    assert one(fn("to_json")(F.struct(F.lit(1).alias("a")))) == '{"a":1}'
+    # dynamic values through the DSL: the carrier IS the serialization
+    p = parse_pipelines('t(d)\n| project j = to_json(d)\n;')["t"]
+    got = {r.j for r in p.run(spark, [{"d": {"a": 1}}, {"d": "x"}, {"d": 7}]).collect()}
+    assert got == {'{"a":1}', '"x"', "7"}
