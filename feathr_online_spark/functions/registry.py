@@ -185,6 +185,39 @@ def _array_contains_piper(arr, v):
     )
 
 
+def _split_part_piper(s, delim, part):
+    """Reference split_part (string_functions.rs:176-186): 1-based on a
+    LITERAL delimiter; part 0 or out-of-range is an error → null under the
+    error-as-value convention.  Spark's split_part returns '' out-of-range
+    and supports negative parts — both diverge."""
+    parts = P.split_literal(_c(s), delim)
+    p = _c(part).cast("int")
+    return F.when((p >= 1) & (p <= F.size(parts)), F.element_at(parts, p))
+
+
+def _translate_piper(s, frm, to):
+    """Reference translate (string_functions.rs:187-203) errors when from/to
+    lengths differ (error-as-value → null); Spark would silently DELETE the
+    unmatched characters.  from/to are literals in both engines, so the
+    length check happens at plan build."""
+    if isinstance(frm, str) and isinstance(to, str) and len(frm) != len(to):
+        return F.lit(None).cast("string")
+    return F.translate(_c(s), frm, to)
+
+
+def _ascii_piper(s):
+    """Reference ascii('') = null (misc_functions.rs:43-45 chars().next()
+    None); Spark returns 0."""
+    s = _c(s)
+    return F.when(F.length(s) == 0, F.lit(None).cast("int")).otherwise(F.ascii(s))
+
+
+def _array_position_piper(arr, v):
+    """Reference array_position returns NULL when the value is absent
+    (array_functions.rs:135-143); Spark returns 0.  Both are 1-based."""
+    return F.nullif(F.array_position(_c(arr), v), F.lit(0))
+
+
 def _to_json_piper(x):
     """Reference to_json serializes ANY value to compact JSON — scalars
     included: to_json(5)='5', to_json("a")='"a"' (to_json.rs:16-25, serde
@@ -245,7 +278,7 @@ _REGISTRY: dict[str, object] = {
     "bool_or": lambda *xs: _bool_fold("__or__", xs),
     "every": lambda *xs: _bool_fold("__and__", xs),
     # --- string (string_functions.rs, misc_functions.rs:43-186) ---
-    "ascii": F.ascii, "btrim": F.btrim, "char": F.char, "chr": F.char,
+    "ascii": _ascii_piper, "btrim": F.btrim, "char": F.char, "chr": F.char,
     "char_length": F.char_length, "character_length": F.character_length,
     "concat": F.concat, "concat_ws": F.concat_ws, "contains": F.contains,
     "endswith": F.endswith, "startswith": F.startswith, "instr": F.instr,
@@ -254,9 +287,9 @@ _REGISTRY: dict[str, object] = {
     "repeat": F.repeat,
     "space": lambda n: F.repeat(F.lit(" "), n),
     "split": P.split_literal,            # piper splits on a LITERAL delimiter
-    "split_part": F.split_part,
+    "split_part": _split_part_piper,
     "substring": P.substring0,           # piper is 0-based w/ negative wrap
-    "substring_index": F.substring_index, "translate": F.translate,
+    "substring_index": F.substring_index, "translate": _translate_piper,
     # --- datetime (datetime_functions.rs, timestamp.rs) ---
     "add_months": F.add_months, "current_date": F.current_date,
     "current_timestamp": F.current_timestamp, "current_timezone": F.current_timezone,
@@ -285,7 +318,7 @@ _REGISTRY: dict[str, object] = {
     "array_distinct": F.array_distinct, "array_except": F.array_except,
     "array_intersect": F.array_intersect, "array_join": F.array_join,
     "array_max": F.array_max, "array_min": F.array_min,
-    "array_position": F.array_position, "array_remove": F.array_remove,
+    "array_position": _array_position_piper, "array_remove": F.array_remove,
     "array_repeat": F.array_repeat, "array_size": F.array_size,
     "array_union": F.array_union, "arrays_overlap": F.arrays_overlap,
     "arrays_zip": F.arrays_zip, "flatten": F.flatten, "size": F.size,

@@ -361,3 +361,27 @@ def test_to_json_golden_vectors(spark):
     p = parse_pipelines('t(d)\n| project j = to_json(d)\n;')["t"]
     got = {r.j for r in p.run(spark, [{"d": {"a": 1}}, {"d": "x"}, {"d": 7}]).collect()}
     assert got == {'{"a":1}', '"x"', "7"}
+
+
+def test_string_misc_edge_golden_vectors(spark):
+    """Edge vectors from string_functions.rs / misc_functions.rs /
+    array_functions.rs where Spark's defaults diverge: split_part OOR →
+    null (not ''), translate length-mismatch → null (not char deletion),
+    ascii('') → null (not 0), array_position miss → null (not 0)."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    sp = fn("split_part")
+    assert one(sp(F.lit("a_b_c"), "_", 2)) == "b"
+    assert one(sp(F.lit("a_b_c"), "_", 3)) == "c"
+    assert one(sp(F.lit("a_b_c"), "_", 0)) is None   # part 0 is an error
+    assert one(sp(F.lit("a_b_c"), "_", 4)) is None   # out of range
+    assert one(fn("translate")(F.lit("abcba"), "ab", "xy")) == "xycyx"
+    assert one(fn("translate")(F.lit("abc"), "ab", "x")) is None  # len mismatch
+    assert one(fn("ascii")(F.lit("a"))) == 97
+    assert one(fn("ascii")(F.lit(""))) is None
+    arr = F.array(F.lit(1), F.lit(2))
+    assert one(fn("array_position")(arr, F.lit(2))) == 2
+    assert one(fn("array_position")(arr, F.lit(9))) is None
