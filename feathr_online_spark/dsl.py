@@ -502,10 +502,13 @@ class ExprCompiler:
                 first, _ = self.compile(ast[2][0])
                 base = F.to_timestamp(first, P.strftime_to_java(ast[2][1][1]))
                 if name.lower() == "timestamp":
-                    # reference timestamp() yields DOUBLE epoch seconds
-                    # (timestamp.rs get_output_type → ValueType::Double)
-                    return F.unix_timestamp(base).cast("double"), "double"
-                return F.unix_timestamp(base), "long"
+                    # reference timestamp() = to_timestamp via var_fn
+                    # (mod.rs:366, datetime_functions.rs:52-79): a DATETIME
+                    # value, NOT epoch seconds
+                    return base, "datetime"
+                # unix_timestamp/to_unix_timestamp = TimestampFunction →
+                # DOUBLE epoch seconds (timestamp.rs get_output_type)
+                return F.unix_timestamp(base).cast("double"), "double"
             # Literal args are passed as python natives: several Spark
             # functions demand plain str/int for patterns, paths and counts
             # (get_json_object, regexp_extract, translate, substring, ...);

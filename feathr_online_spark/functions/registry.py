@@ -162,15 +162,28 @@ def _case_fn(*args):
     return expr.otherwise(default) if default is not None else expr
 
 
-def _timestamp(x, fmt=None, tz=None):
-    """Reference ``timestamp(str[, fmt[, tz]])`` (timestamp.rs:14-110):
-    parses with a chrono format (default ``%Y-%m-%d %H:%M:%S``), interprets
-    the wall time in ``tz`` (default UTC), and returns the epoch as a
-    DOUBLE of whole seconds (chrono ``.timestamp()`` floors)."""
-    t = F.to_timestamp(x) if fmt is None else P.timestamp_strftime(x, fmt)
+def _parse_chrono_ts(x, fmt=None, tz=None):
+    t = F.to_timestamp(_c(x)) if fmt is None else P.timestamp_strftime(x, fmt)
     if tz is not None:
         t = F.to_utc_timestamp(t, tz)
-    return F.unix_timestamp(t).cast("double")
+    return t
+
+
+def _timestamp_dt(x, fmt=None, tz=None):
+    """Reference ``timestamp(str[, fmt[, tz]])`` — registered to
+    datetime_functions.rs:52-79 ``to_timestamp`` (mod.rs:366): parses with a
+    chrono format (default ``%Y-%m-%d %H:%M:%S``), interprets the wall time
+    in ``tz`` (default UTC), and returns the instant as a DATETIME value.
+    The epoch-seconds variant is unix_timestamp/to_unix_timestamp below."""
+    return _parse_chrono_ts(x, fmt, tz)
+
+
+def _unix_timestamp(x, fmt=None, tz=None):
+    """Reference ``unix_timestamp``/``to_unix_timestamp`` (TimestampFunction,
+    timestamp.rs:14-110, mod.rs:377,402): same chrono parsing, but the result
+    is the epoch as a DOUBLE of whole seconds (chrono ``.timestamp()``
+    floors); a DateTime input passes through to its epoch."""
+    return F.unix_timestamp(_parse_chrono_ts(x, fmt, tz)).cast("double")
 
 
 def _array_contains_piper(arr, v):
@@ -304,13 +317,10 @@ _REGISTRY: dict[str, object] = {
     "from_utc_timestamp": F.from_utc_timestamp, "to_utc_timestamp": F.to_utc_timestamp,
     "last_day": _last_day_piper, "next_day": _next_day_piper,
     "make_date": F.make_date, "make_timestamp": F.make_timestamp,
-    "timestamp": _timestamp,
+    "timestamp": _timestamp_dt,
     "timestamp_micros": F.timestamp_micros, "timestamp_millis": F.timestamp_millis,
     "timestamp_seconds": F.timestamp_seconds,
-    # the reference binds unix_timestamp/to_unix_timestamp to the SAME
-    # TimestampFunction as timestamp() (mod.rs → timestamp.rs): chrono
-    # format dialect, double epoch seconds
-    "to_unix_timestamp": _timestamp, "unix_timestamp": _timestamp,
+    "to_unix_timestamp": _unix_timestamp, "unix_timestamp": _unix_timestamp,
     "unix_date": F.unix_date, "unix_micros": F.unix_micros,
     "unix_millis": F.unix_millis, "unix_seconds": F.unix_seconds,
     # --- array (array_functions.rs, misc_functions.rs:306-359, len.rs) ---
@@ -334,7 +344,12 @@ _REGISTRY: dict[str, object] = {
     "to_json": _to_json_piper,
     # --- regex (regexp.rs) ---
     "regexp": F.regexp_like, "regexp_like": F.regexp_like,
-    "regexp_extract": F.regexp_extract, "regexp_extract_all": F.regexp_extract_all,
+    # reference regexp_extract's group index is OPTIONAL (default 1,
+    # regexp.rs:12-16); Spark's wrapper requires it
+    "regexp_extract": lambda s, re, idx=1: F.regexp_extract(_c(s), re, idx),
+    # reference regexp_extract_all is BINARY and returns the WHOLE matches
+    # (group 0, regexp.rs:25-34); Spark's optional idx defaults to group 1
+    "regexp_extract_all": lambda s, re, idx=0: F.regexp_extract_all(_c(s), _c(re), _c(idx)),
     "regexp_replace": F.regexp_replace,
     # --- conditional/null (mod.rs:198-291) ---
     "if": _iff, "iff": _iff, "case": _case_fn,   # function/case.rs via mod.rs:431

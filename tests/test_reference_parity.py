@@ -245,11 +245,15 @@ def test_scalar_function_golden_vectors(spark):
     assert one(fn("concat_ws")("_", F.lit("a"), F.lit("b"), F.lit("c"))) == "a_b_c"
     # bucket.rs test_bucket_type: bucket(0.5, 0, 1, 2, 3) = 1
     assert one(fn("bucket")(F.lit(0.5), 0.0, 1.0, 2.0, 3.0)) == 1
-    # timestamp.rs test_timestamp: double epoch seconds, default + custom
-    # format + timezone (local wall time in tz → UTC epoch)
-    assert one(fn("timestamp")(F.lit("2020-01-01 00:00:00"))) == 1577836800.0
-    assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d")) == 1577836800.0
-    assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d",
+    # mod.rs:366: timestamp() = to_timestamp (datetime_functions.rs:52-79)
+    # → a DATETIME value; unix_timestamp/to_unix_timestamp (TimestampFunction,
+    # timestamp.rs) → DOUBLE epoch seconds.  Same chrono parsing everywhere.
+    import datetime as _dt
+    assert one(fn("timestamp")(F.lit("2020-01-01 00:00:00"))) == _dt.datetime(2020, 1, 1)
+    assert one(fn("timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d")) == _dt.datetime(2020, 1, 1)
+    assert one(fn("unix_timestamp")(F.lit("2020-01-01 00:00:00"))) == 1577836800.0
+    assert one(fn("to_unix_timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d")) == 1577836800.0
+    assert one(fn("unix_timestamp")(F.lit("00:00:00-2020/01/01"), "%H:%M:%S-%Y/%m/%d",
                                "Asia/Shanghai")) == 1577836800.0 - 8 * 3600
 
 
@@ -385,3 +389,19 @@ def test_string_misc_edge_golden_vectors(spark):
     arr = F.array(F.lit(1), F.lit(2))
     assert one(fn("array_position")(arr, F.lit(2))) == 2
     assert one(fn("array_position")(arr, F.lit(9))) is None
+
+
+def test_regexp_defaults_golden_vectors(spark):
+    """regexp.rs registration quirks: regexp_extract's group index is
+    optional (default 1); regexp_extract_all is binary and returns WHOLE
+    matches (group 0) — Spark's default would be group 1."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    s = F.lit("ab12cd34")
+    assert one(fn("regexp_extract")(s, r"([a-z]+)(\d+)")) == "ab"       # default group 1
+    assert one(fn("regexp_extract")(s, r"([a-z]+)(\d+)", 2)) == "12"
+    assert one(fn("regexp_extract_all")(s, F.lit(r"[a-z]+\d+"))) == ["ab12", "cd34"]  # whole matches
+    assert one(fn("regexp_extract_all")(s, F.lit(r"([a-z]+)(\d+)"))) == ["ab12", "cd34"]
