@@ -43,6 +43,33 @@ def _sec(x):
     return F.sec(x) if hasattr(F, "sec") else F.lit(1.0) / F.cos(x)
 
 
+def _log_piper(x, base=None):
+    """Reference ``log(x, base)`` is strictly binary with the VALUE first
+    (mod.rs:235 binary_fn(f64::log) — Rust's self.log(base) = ln(self)/
+    ln(base)); Spark's log(base, x) takes the base first, so a passthrough
+    would silently compute the reciprocal.  The unary form is allowed here
+    as ln for Spark-compat."""
+    if base is None:
+        return F.log(_c(x))
+    return F.ln(_c(x)) / F.ln(_c(base))
+
+
+def _dayofweek_piper(x):
+    """Reference bug-compat: dayofweek = (chrono weekday + 2) % 8
+    (mod.rs:148) — Mon=2 … Sat=7 like Spark, but SUNDAY = 0 where Spark
+    says 1 (the modulus should have been %7+1)."""
+    d = F.dayofweek(x)  # Spark: Sun=1 … Sat=7
+    return F.when(d == 1, F.lit(0)).otherwise(d)
+
+
+def _date_from_unix_date_piper(x):
+    """Reference bug-compat: date_from_unix_date interprets the int as days
+    from the Common Era (mod.rs:141 from_num_days_from_ce: day 1 =
+    0001-01-01), NOT days since the 1970 epoch as the Spark-named intent
+    (and Spark's own function) would."""
+    return F.date_add(F.make_date(F.lit(1), F.lit(1), F.lit(1)), _c(x).cast("int") - 1)
+
+
 def _last_day_piper(x):
     """Reference bug-compat: last_day = date - 1 day (function/mod.rs:224,
     ``v - Duration::days(1)``), NOT Spark's end-of-month."""
@@ -264,7 +291,7 @@ _REGISTRY: dict[str, object] = {
     "cot": _cot, "csc": _csc, "sec": _sec, "degrees": F.degrees,
     "e": lambda: F.lit(math.e), "pi": lambda: F.lit(math.pi), "tau": lambda: F.lit(math.tau),
     "exp": F.exp, "expm1": F.expm1, "factorial": F.factorial, "floor": F.floor,
-    "hypot": F.hypot, "ln": F.log, "log": F.log, "log10": F.log10, "log1p": F.log1p,
+    "hypot": F.hypot, "ln": F.log, "log": _log_piper, "log10": F.log10, "log1p": F.log1p,
     "log2": F.log2, "mod": P.mod_euclid, "conv": F.conv,
     "pow": F.pow, "power": F.pow, "radians": F.radians, "round": F.round,
     "sign": F.signum, "signum": F.signum, "sin": F.sin, "sinh": F.sinh,
@@ -307,10 +334,12 @@ _REGISTRY: dict[str, object] = {
     "add_months": F.add_months, "current_date": F.current_date,
     "current_timestamp": F.current_timestamp, "current_timezone": F.current_timezone,
     "now": F.now if hasattr(F, "now") else F.current_timestamp,
-    "date": lambda x: _c(x).cast("date"),
+    # reference `date` is TypeConverterFunction{to: DateTime} (mod.rs:138) —
+    # piper has ONE temporal type, so date("2024-01-01 10:00") KEEPS the time
+    "date": lambda x: _c(x).cast("timestamp"),
     "date_add": F.date_add, "date_sub": F.date_sub, "date_diff": F.date_diff,
-    "date_from_unix_date": F.date_from_unix_date,
-    "day": F.day, "dayofmonth": F.dayofmonth, "dayofweek": F.dayofweek,
+    "date_from_unix_date": _date_from_unix_date_piper,
+    "day": F.day, "dayofmonth": F.dayofmonth, "dayofweek": _dayofweek_piper,
     "dayofyear": F.dayofyear, "weekday": F.weekday, "weekofyear": F.weekofyear,
     "hour": F.hour, "minute": F.minute, "month": F.month, "quarter": F.quarter,
     "second": F.second, "year": F.year,

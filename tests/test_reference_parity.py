@@ -405,3 +405,32 @@ def test_regexp_defaults_golden_vectors(spark):
     assert one(fn("regexp_extract")(s, r"([a-z]+)(\d+)", 2)) == "12"
     assert one(fn("regexp_extract_all")(s, F.lit(r"[a-z]+\d+"))) == ["ab12", "cd34"]  # whole matches
     assert one(fn("regexp_extract_all")(s, F.lit(r"([a-z]+)(\d+)"))) == ["ab12", "cd34"]
+
+
+def test_registry_quirk_golden_vectors_mod_rs(spark):
+    """Registration-level quirks from mod.rs: log(x, base) has the VALUE
+    first (rust f64::log — Spark's log takes base first); dayofweek maps
+    Sunday to 0 ((w+2)%8 bug, mod.rs:148); date_from_unix_date counts days
+    from the Common Era (mod.rs:141), not the 1970 epoch; date() converts
+    to the DateTime type, keeping the time (mod.rs:138)."""
+    import datetime
+
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    assert one(fn("log")(F.lit(8.0), F.lit(2.0))) == 3.0     # log(x, base)
+    assert abs(one(fn("log")(F.lit(100.0), F.lit(10.0))) - 2.0) < 1e-12
+    d_sun = F.lit("2024-01-07").cast("date")  # a Sunday
+    d_mon = F.lit("2024-01-08").cast("date")
+    d_sat = F.lit("2024-01-06").cast("date")
+    assert one(fn("dayofweek")(d_sun)) == 0
+    assert one(fn("dayofweek")(d_mon)) == 2
+    assert one(fn("dayofweek")(d_sat)) == 7
+    assert one(fn("date_from_unix_date")(F.lit(1))) == datetime.date(1, 1, 1)
+    # python's toordinal() uses the same day-1 = 0001-01-01 convention as
+    # chrono's from_num_days_from_ce — ground truth for the vector
+    target = datetime.date(2024, 1, 30)
+    assert one(fn("date_from_unix_date")(F.lit(target.toordinal()))) == target
+    assert one(fn("date")(F.lit("2024-01-01 10:30:00"))) == datetime.datetime(2024, 1, 1, 10, 30)
