@@ -113,7 +113,12 @@ class SourceRegistry:
         (with multiLine) array-of-objects, covering the reference's json+ndjson
         pair."""
         if fmt is None:
-            ext = path.rsplit(".", 1)[-1].lower()
+            parts = path.lower().split(".")
+            # compression suffixes are transparent to Spark's readers —
+            # nyc_online.csv.gz is a csv (reference local_store reads it so)
+            while parts and parts[-1] in ("gz", "bz2", "zst", "snappy", "deflate"):
+                parts.pop()
+            ext = parts[-1] if parts else ""
             fmt = {"csv": "csv", "parquet": "parquet", "json": "json", "ndjson": "json"}.get(ext)
             if fmt is None:
                 raise ValueError(f"cannot infer format from '{path}'")
@@ -145,3 +150,154 @@ class SourceRegistry:
 
     def key_of(self, name: str) -> str:
         return self._keys[name]
+
+
+# ---------------------------------------------------------------------------
+# Reference lookup.json loader
+# ---------------------------------------------------------------------------
+
+def _sqlite_callable(db_path: str, sql: str, cols: list[str], stringify: bool):
+    """Per-key SQLite lookup served through CallableSource — the reference's
+    sqlite class (per-key ``sqlTemplate`` with a ``:key`` parameter,
+    piper/src/pipeline/lookup/) runs LIVE on python's stdlib sqlite3, no JDBC
+    driver needed.  One connection per worker process, cached by pid."""
+    conns: dict = {}
+
+    def fn(key, fields):
+        import os
+        import sqlite3
+
+        pid = os.getpid()
+        con = conns.get(pid)
+        if con is None:
+            con = conns.setdefault(pid, sqlite3.connect(db_path))
+        cur = con.execute(sql, {"key": key})
+        by_name = [d[0] for d in cur.description]
+        rows = []
+        for r in cur.fetchall():
+            m = dict(zip(by_name, r))
+            vals = [m.get(c) for c in cols]
+            if stringify:
+                vals = [None if v is None else str(v) for v in vals]
+            rows.append(vals)
+        return rows
+
+    return fn
+
+
+def load_lookup_conf(
+    registry: SourceRegistry,
+    path: str,
+    base_dir: str | None = None,
+    callables: dict | None = None,
+    field_types: dict[str, str] | None = None,
+    env: dict | None = None,
+) -> dict:
+    """Load the reference's ``conf/lookup.json`` (piper -c accepts exactly
+    this file) into a SourceRegistry.  Returns
+    ``{"registered": {name: class}, "skipped": {name: reason}}`` — loading is
+    best-effort per source, like the reference's own startup.
+
+    - ``local`` → register_file (csv[.gz]/parquet/json by extension),
+      relative paths resolved against ``base_dir`` (default: the conf file's
+      parent directory's parent, matching the reference repo layout).
+    - ``sqlite`` → LIVE per-key lookups through python's stdlib sqlite3
+      wrapped in a CallableSource (no JDBC driver needed); field types
+      default to strings unless ``field_types[name]`` gives a DDL string.
+    - ``mssql`` → register_jdbc when the interpolated connectionString is a
+      ``jdbc:`` URL; ADO-style strings are skipped with instructions.
+    - Redis / Cosmos / HTTP classes are request-serving backends with no
+      batch analog: they register ONLY when the caller injects a fetch
+      function via ``callables={name: fn}`` (fields taken from the conf's
+      resultPath/availableFields), otherwise they are skipped with the
+      reason recorded.
+    - ``${VAR}`` values interpolate from ``env`` (default os.environ);
+      a missing variable skips that source.
+    """
+    import json
+    import os
+    import re
+
+    env = dict(os.environ) if env is None else env
+    callables = callables or {}
+    field_types = field_types or {}
+    base = base_dir or os.path.dirname(os.path.dirname(os.path.abspath(path)))
+
+    class _MissingEnv(KeyError):
+        pass
+
+    def interp(v):
+        if isinstance(v, str):
+            def sub(m):
+                name = m.group(1)
+                if name not in env:
+                    raise _MissingEnv(name)
+                return env[name]
+
+            return re.sub(r"\$\{([^}]*)\}", sub, v)
+        if isinstance(v, dict):
+            return {k: interp(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [interp(x) for x in v]
+        return v
+
+    with open(path) as f:
+        conf = json.load(f)
+
+    registered: dict[str, str] = {}
+    skipped: dict[str, str] = {}
+    for raw in conf.get("sources", []):
+        name = raw.get("name", "<unnamed>")
+        cls = raw.get("class", "")
+        try:
+            src = interp(raw)
+        except _MissingEnv as e:
+            skipped[name] = f"missing environment variable {e.args[0]}"
+            continue
+        try:
+            if cls == "local":
+                p = src["path"]
+                if not os.path.isabs(p):
+                    p = os.path.join(base, p)
+                if not os.path.exists(p):
+                    skipped[name] = f"file not found: {p}"
+                    continue
+                registry.register_file(name, p, key=src["keyColumn"])
+                if src.get("fields"):
+                    df = registry.get(name)
+                    registry.register(name, df.select(src["keyColumn"], *src["fields"]),
+                                      src["keyColumn"])
+            elif cls == "sqlite":
+                db = src["dbPath"]
+                if not os.path.isabs(db):
+                    db = os.path.join(base, db)
+                if not os.path.exists(db):
+                    skipped[name] = f"sqlite db not found: {db}"
+                    continue
+                cols = src["availableFields"]
+                ddl = field_types.get(name)
+                stringify = ddl is None
+                schema = ddl or ", ".join(f"{c} string" for c in cols)
+                registry.register_callable(
+                    name, _sqlite_callable(db, src["sqlTemplate"], cols, stringify),
+                    key="key", fields_schema=schema,
+                )
+            elif cls == "mssql":
+                conn = src["connectionString"]
+                if conn.lower().startswith("jdbc:"):
+                    registry.register_jdbc(name, conn, src.get("table", name), key="key")
+                else:
+                    skipped[name] = ("ADO connection strings are not JDBC URLs; "
+                                     "call register_jdbc(name, 'jdbc:sqlserver://…', …) directly")
+            elif name in callables:
+                fields = list((src.get("resultPath") or {}).keys()) or src.get("availableFields", [])
+                schema = field_types.get(name) or ", ".join(f"{c} string" for c in fields)
+                registry.register_callable(name, callables[name], key="key", fields_schema=schema)
+            else:
+                skipped[name] = (f"{cls} is a request-serving backend with no batch analog; "
+                                 f"inject callables={{'{name}': fn}} to serve it from python")
+                continue
+            registered[name] = cls
+        except Exception as e:  # best-effort per source, like the reference startup
+            skipped[name] = f"{type(e).__name__}: {e}"
+    return {"registered": registered, "skipped": skipped}

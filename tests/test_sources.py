@@ -158,3 +158,57 @@ def test_jdbc_source_live_roundtrip(spark, tmp_path):
     )
     got = {r.id: r.label for r in out}
     assert got == {10: "zero", 11: "two", 12: None}  # miss null-fills
+
+
+def test_load_reference_lookup_conf(spark):
+    """Load the reference's OWN conf/lookup.json verbatim: local file sources
+    register (csv.gz + parquet), the sqlite source serves LIVE per-key
+    lookups through stdlib sqlite3 (test-data/test.db, the same fixture the
+    reference's join tests use), HTTP/Redis/Cosmos classes register only via
+    injected callables, and everything unresolvable is skipped with a
+    recorded reason — best-effort like the reference startup."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.pipeline import Pipeline
+    from feathr_online_spark.sources.registry import SourceRegistry, load_lookup_conf
+
+    reg = SourceRegistry(spark)
+    report = load_lookup_conf(
+        reg, "/root/reference/conf/lookup.json",
+        callables={"geoip": lambda key, fields: [[f"{key}-{f}" for f in fields]]},
+        field_types={"join_test": "name string, age int"},
+    )
+    assert report["registered"]["feathrci"] == "local"
+    assert report["registered"]["links"] == "local"
+    assert report["registered"]["join_test"] == "sqlite"
+    assert report["registered"]["geoip"] == "HttpJsonApiSource"
+    # request-serving classes without callables are skipped with reasons
+    for skipped in ("feathrci_redis", "cosmos1", "recommender"):
+        assert skipped in report["skipped"], report
+    # mssql: env var isn't set → skipped for that reason
+    assert "environment variable" in report["skipped"]["join_test_mssql"]
+
+    # the csv.gz registered with its key column intact
+    assert "key0" in reg.get("feathrci").columns
+
+    # LIVE sqlite per-key join — values must match test-data/test_db.sql
+    probe = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    out = (
+        Pipeline(probe)
+        .join(reg.get("join_test"), "left-outer", on=F.col("id"),
+              key=reg.key_of("join_test"), fields=["name", "age"])
+        .df.collect()
+    )
+    got = sorted((r.id, r.name, r.age) for r in out)
+    assert got == [
+        (1, "Jack", 30), (1, "Jane", 31), (1, "John", 32),
+        (2, "Jill", 33), (2, "Jose", 34), (3, None, None),
+    ]
+
+    # injected-callable source serves through the lookup verb
+    out2 = (
+        Pipeline(spark.createDataFrame([(7,)], "k int"))
+        .lookup(reg.get("geoip"), on=F.col("k"), key="key", fields=["country", "city"])
+        .df.collect()[0]
+    )
+    assert out2.country == "7-country" and out2.city == "7-city"
