@@ -185,11 +185,49 @@ def _sqlite_callable(db_path: str, sql: str, cols: list[str], stringify: bool):
     return fn
 
 
+def _result_path_callable(fetch, result_path: dict[str, str]):
+    """Wrap a raw-JSON fetcher (``fetch(key) -> json text``, sync or async)
+    so the conf's ``resultPath`` JsonPaths extract the served fields — the
+    HttpJsonApiSource contract (reference lookup/http_json_api.rs): one
+    response document per key, one JsonPath per output field."""
+    import inspect
+
+    from feathr_online_spark.functions import jsonpath as JP
+
+    steps = {f: JP.parse_path(p) for f, p in result_path.items()}
+
+    def extract(doc_text, fields):
+        import json as _json
+
+        try:
+            doc = _json.loads(doc_text) if doc_text is not None else None
+        except (ValueError, TypeError):
+            doc = None
+        if doc is None:
+            return []
+        row = []
+        for f in fields:
+            hits = JP.select(doc, steps[f])
+            v = hits[0] if hits else None
+            row.append(None if v is None else (v if isinstance(v, str) else _json.dumps(v)))
+        return [row]
+
+    if inspect.iscoroutinefunction(fetch):
+        async def fn(key, fields):
+            return extract(await fetch(key), fields)
+    else:
+        def fn(key, fields):
+            return extract(fetch(key), fields)
+
+    return fn
+
+
 def load_lookup_conf(
     registry: SourceRegistry,
     path: str,
     base_dir: str | None = None,
     callables: dict | None = None,
+    json_callables: dict | None = None,
     field_types: dict[str, str] | None = None,
     env: dict | None = None,
 ) -> dict:
@@ -208,9 +246,11 @@ def load_lookup_conf(
       ``jdbc:`` URL; ADO-style strings are skipped with instructions.
     - Redis / Cosmos / HTTP classes are request-serving backends with no
       batch analog: they register ONLY when the caller injects a fetch
-      function via ``callables={name: fn}`` (fields taken from the conf's
-      resultPath/availableFields), otherwise they are skipped with the
-      reason recorded.
+      function — ``callables={name: fn}`` for a row-returning
+      ``fn(key, fields)``, or ``json_callables={name: fetch}`` for a raw
+      ``fetch(key) -> json text`` whose fields are then extracted with the
+      conf's OWN resultPath JsonPaths (the HttpJsonApiSource contract) —
+      otherwise they are skipped with the reason recorded.
     - ``${VAR}`` values interpolate from ``env`` (default os.environ);
       a missing variable skips that source.
     """
@@ -220,6 +260,7 @@ def load_lookup_conf(
 
     env = dict(os.environ) if env is None else env
     callables = callables or {}
+    json_callables = json_callables or {}
     field_types = field_types or {}
     base = base_dir or os.path.dirname(os.path.dirname(os.path.abspath(path)))
 
@@ -289,10 +330,14 @@ def load_lookup_conf(
                 else:
                     skipped[name] = ("ADO connection strings are not JDBC URLs; "
                                      "call register_jdbc(name, 'jdbc:sqlserver://…', …) directly")
-            elif name in callables:
+            elif name in callables or name in json_callables:
                 fields = list((src.get("resultPath") or {}).keys()) or src.get("availableFields", [])
                 schema = field_types.get(name) or ", ".join(f"{c} string" for c in fields)
-                registry.register_callable(name, callables[name], key="key", fields_schema=schema)
+                if name in callables:
+                    fn = callables[name]
+                else:
+                    fn = _result_path_callable(json_callables[name], src.get("resultPath") or {})
+                registry.register_callable(name, fn, key="key", fields_schema=schema)
             else:
                 skipped[name] = (f"{cls} is a request-serving backend with no batch analog; "
                                  f"inject callables={{'{name}': fn}} to serve it from python")

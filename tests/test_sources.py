@@ -212,3 +212,32 @@ def test_load_reference_lookup_conf(spark):
         .df.collect()[0]
     )
     assert out2.country == "7-country" and out2.city == "7-city"
+
+
+def test_lookup_conf_json_callable_result_path(spark):
+    """json_callables: the fetcher returns one raw JSON document per key and
+    the conf's OWN resultPath JsonPaths extract the fields — the
+    HttpJsonApiSource contract served from python, batch-side."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.pipeline import Pipeline
+    from feathr_online_spark.sources.registry import SourceRegistry, load_lookup_conf
+
+    def fetch(key):
+        # shaped like an ip-api.com response, deterministic from the key
+        return (f'{{"status":"success","country":"C{key}","countryCode":"cc",'
+                f'"city":"X{key}","lat":{key}.5,"time_zone":{{"name":"UTC"}}}}')
+
+    reg = SourceRegistry(spark)
+    report = load_lookup_conf(reg, "/root/reference/conf/lookup.json",
+                              json_callables={"geoip": fetch})
+    assert report["registered"]["geoip"] == "HttpJsonApiSource"
+    out = (
+        Pipeline(spark.createDataFrame([(4,), (9,)], "ip int"))
+        .lookup(reg.get("geoip"), on=F.col("ip"), key="key",
+                fields=["country", "city", "lat", "status"])
+        .df.collect()
+    )
+    got = {r.ip: (r.country, r.city, r.lat, r.status) for r in out}
+    assert got[4] == ("C4", "X4", "4.5", "success")
+    assert got[9] == ("C9", "X9", "9.5", "success")
