@@ -151,6 +151,21 @@ class SourceRegistry:
     def key_of(self, name: str) -> str:
         return self._keys[name]
 
+    def as_dsl_sources(self) -> dict:
+        """The registry in the shape CompiledPipeline.apply/run expects —
+        ``{name: (DataFrame, key)}`` entries plus CallableSources verbatim —
+        so a reference deployment runs with its own two config files::
+
+            reg = SourceRegistry(spark)
+            load_lookup_conf(reg, "conf/lookup.json")
+            pipes = parse_pipelines(open("conf/pipeline.conf").read())
+            out = pipes["nyc_taxi_demo"].run(spark, rows, reg.as_dsl_sources())
+        """
+        return {
+            name: src if isinstance(src, CallableSource) else (src, self._keys[name])
+            for name, src in self._sources.items()
+        }
+
 
 # ---------------------------------------------------------------------------
 # Reference lookup.json loader

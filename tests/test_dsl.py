@@ -287,3 +287,47 @@ def test_len_dispatches_on_static_type(spark):
     got = {r.ls: (r.la, r.ld) for r in p.run(spark, rows).collect()}
     assert got[3] == (4, 3)   # len("abc")=3, length(arr4)=4, len(dyn arr3)=3
     assert got[0] == (0, 5)   # len("")=0, length([])=0, len(dyn "hello")=5
+
+
+def test_reference_deployment_end_to_end(spark):
+    """THE migration test: run the reference's own pipeline.conf against its
+    own lookup.json and its own data files — nyc_taxi_demo resolves the
+    feathrci lookup from test-data/nyc_online.csv.gz and locationsvc from an
+    injected fetcher (its resultPath JsonPaths honored); test_join_inner /
+    test_join_outer join LIVE through the sqlite source (test-data/test.db)
+    and must reproduce the reference's join goldens."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.sources.registry import SourceRegistry, load_lookup_conf
+
+    reg = SourceRegistry(spark)
+    load_lookup_conf(
+        reg, "/root/reference/conf/lookup.json",
+        json_callables={"locationsvc": lambda key: f'{{"id":{key},"name":"LOC{key}"}}'},
+        field_types={"join_test": "name string, age int"},
+    )
+    sources = reg.as_dsl_sources()
+    pipes = parse_pipelines(open("/root/reference/conf/pipeline.conf").read())
+
+    # pick two real keys from the csv.gz so the lookups hit
+    fares = {r.key0: (r.f_location_avg_fare, r.f_location_max_fare)
+             for r in reg.get("feathrci").collect()}
+    k1, k2 = sorted(fares)[0], sorted(fares)[-1]
+    rows = [{"pu_loc_id": int(k1), "do_loc_id": int(k2),
+             "pu_time": "2020/1/1 10:00", "do_time": "2020/1/1 11:30",
+             "trip_distance": 30.0, "fare_amount": 60.0}]
+    r = pipes["nyc_taxi_demo"].run(spark, rows, sources).collect()[0]
+    assert r.pu_loc_avg_fare == fares[k1][0] and r.do_loc_max_fare == fares[k2][1]
+    assert r.pu_loc_name == f"LOC{k1}" and r.do_loc_name == f"LOC{k2}"
+    assert r.duration_second == 5400.0
+    assert abs(r.speed_mph - 20.0) < 1e-9
+
+    # join goldens through the LIVE sqlite source (test_db.sql contents)
+    out = pipes["test_join_inner"].run(spark, [{"id": 1}, {"id": 2}, {"id": 3}], sources)
+    got = sorted((r.id, r.names, r.avg_age) for r in out.collect())
+    assert [g[1] for g in got if g[0] == 1] == ["Jack", "Jane", "John"]
+    assert [g[1] for g in got if g[0] == 2] == ["Jill", "Jose"]
+    assert all(g[0] != 3 for g in got)          # left-inner drops the miss
+    assert {g[2] for g in got if g[0] == 1} == {31.0}
+    outer = pipes["test_join_outer"].run(spark, [{"id": 3}], sources)
+    assert outer.count() == 1                    # null name explodes? no — [null] keeps one row
