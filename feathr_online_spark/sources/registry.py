@@ -308,8 +308,14 @@ def load_lookup_conf(
         try:
             src = interp(raw)
         except _MissingEnv as e:
-            skipped[name] = f"missing environment variable {e.args[0]}"
-            continue
+            if name in callables or name in json_callables:
+                # an injected fetcher replaces the backend connection — the
+                # conf's ${VARS} (api keys, hosts) are irrelevant to it; only
+                # resultPath/availableFields matter and those are static
+                src = raw
+            else:
+                skipped[name] = f"missing environment variable {e.args[0]}"
+                continue
         try:
             if cls == "local":
                 p = src["path"]

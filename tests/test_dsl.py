@@ -331,3 +331,26 @@ def test_reference_deployment_end_to_end(spark):
     assert {g[2] for g in got if g[0] == 1} == {31.0}
     outer = pipes["test_join_outer"].run(spark, [{"id": 3}], sources)
     assert outer.count() == 1                    # null name explodes? no — [null] keeps one row
+
+
+def test_geoip_demo_with_injected_fetcher(spark):
+    """geoip_demo + geoip_demo_explode from the reference conf: the
+    ipgeolocation source's ${IPGEOLOCATION_APIKEY} is irrelevant once a
+    fetcher is injected — the loader must register it anyway and honor its
+    resultPath (country_name/city JsonPaths)."""
+    from feathr_online_spark.sources.registry import SourceRegistry, load_lookup_conf
+
+    def fetch(ip):
+        return f'{{"country_name":"Land of {ip}","city":"{ip}ville","isp":"x"}}'
+
+    reg = SourceRegistry(spark)
+    report = load_lookup_conf(reg, "/root/reference/conf/lookup.json",
+                              json_callables={"ipgeolocation": fetch})
+    assert report["registered"]["ipgeolocation"] == "HttpJsonApiSource"
+    pipes = parse_pipelines(open("/root/reference/conf/pipeline.conf").read())
+    out = pipes["geoip_demo"].run(spark, [{"ip": "1.2.3.4"}], reg.as_dsl_sources()).collect()[0]
+    assert out.country == "Land of 1.2.3.4" and out.city == "1.2.3.4ville"
+    ex = pipes["geoip_demo_explode"].run(
+        spark, [{"ip": ["8.8.8.8", "9.9.9.9"]}], reg.as_dsl_sources()
+    ).collect()
+    assert sorted(r.city for r in ex) == ["8.8.8.8ville", "9.9.9.9ville"]
