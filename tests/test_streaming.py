@@ -150,3 +150,37 @@ def test_stream_asof_enrich(spark, tmp_path):
     assert got["e1"] == 1.0          # same-batch feature
     assert got["e2"] == 1.0          # cross-batch via state; 00:10 tie excluded (strict)
     assert got["e3"] is None         # entity 2: feature is later than the event
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based ingest dedup: duplicates within a
+    micro-batch and across batches (inside the watermark horizon) are
+    dropped; reformatted text collapses via the content fingerprint."""
+    from datetime import datetime
+
+    from feathr_online_spark.streaming.pit import stream_exact_dedup
+
+    path = str(tmp_path / "docs_in")
+    schema = "doc_id long, event_time timestamp, text string"
+    t0 = datetime(2024, 1, 1, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t0, "hello  world"), (1, t0, "hello world"),  # same fp, same id
+         (2, t0, "other doc")],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 10), "HELLO   woRLD"),  # dup within horizon
+         (3, datetime(2024, 1, 1, 0, 10), "fresh doc")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(path)
+    batch2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(path)
+    out = stream_exact_dedup(stream, ["doc_id"], watermark="1 hour",
+                             fingerprint_text="text")
+    q = (out.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select doc_id from dedup_t").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
