@@ -172,7 +172,11 @@ def _iff(cond, a, b):
 def _case_fn(*args):
     """Function-call ``case(cond1, val1, cond2, val2, ..., [default])`` —
     first true condition wins, trailing odd argument is the default
-    (reference function/case.rs:40-55)."""
+    (reference function/case.rs:40-55).  A NULL condition is an ERROR there
+    (get_bool Err, case.rs:49) → null under error-as-value — NOT 'false';
+    the null-check when() precedes each condition so evaluation order
+    matches (a null first condition nulls the row even if a later condition
+    would match)."""
     if not args:
         raise ValueError("case: at least one argument required")
     expr = None
@@ -181,7 +185,11 @@ def _case_fn(*args):
         # conditions may arrive as python literals from the DSL — F.when
         # demands a Column
         cond, val = _c(args[i]), _c(args[i + 1])
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        nullhit = (cond.isNull(), F.lit(None))
+        if expr is None:
+            expr = F.when(*nullhit).when(cond, val)
+        else:
+            expr = expr.when(*nullhit).when(cond, val)
         i += 2
     default = _c(args[i]) if i < len(args) else None
     if expr is None:

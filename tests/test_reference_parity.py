@@ -434,3 +434,19 @@ def test_registry_quirk_golden_vectors_mod_rs(spark):
     target = datetime.date(2024, 1, 30)
     assert one(fn("date_from_unix_date")(F.lit(target.toordinal()))) == target
     assert one(fn("date")(F.lit("2024-01-01 10:30:00"))) == datetime.datetime(2024, 1, 1, 10, 30)
+
+
+def test_case_function_null_condition_errors(spark):
+    """case.rs:46-50: a NULL condition is an error (→ null under
+    error-as-value), NOT false — even when a later condition would match."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    nul = F.lit(None).cast("boolean")
+    assert one(fn("case")(nul, F.lit(1), F.lit(2))) is None        # null cond → error, not default
+    assert one(fn("case")(nul, F.lit(1), F.lit(True), F.lit(9), F.lit(2))) is None
+    assert one(fn("case")(F.lit(False), F.lit(1), F.lit(True), F.lit(9))) == 9
+    assert one(fn("case")(F.lit(False), F.lit(1), F.lit(2))) == 2  # default
+    assert one(fn("case")(F.lit(False), F.lit(1))) is None         # no match, no default
