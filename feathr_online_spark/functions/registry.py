@@ -300,7 +300,13 @@ _REGISTRY: dict[str, object] = {
     "e": lambda: F.lit(math.e), "pi": lambda: F.lit(math.pi), "tau": lambda: F.lit(math.tau),
     "exp": F.exp, "expm1": F.expm1, "factorial": F.factorial, "floor": F.floor,
     "hypot": F.hypot, "ln": F.log, "log": _log_piper, "log10": F.log10, "log1p": F.log1p,
-    "log2": F.log2, "mod": P.mod_euclid, "conv": F.conv,
+    "log2": F.log2, "mod": P.mod_euclid,
+    # reference Conv (misc_functions.rs:218-250) emits digits least-
+    # significant-FIRST and never reverses (conv("30",10,16) = "e1"!),
+    # panics on invalid digits, and renders 0 as "" — evident bugs we
+    # deliberately do NOT replicate (like bit_and's fold-from-0).  We DO
+    # match its lowercase digit alphabet; Spark's conv is uppercase.
+    "conv": lambda x, f, t: F.lower(F.conv(_c(x), f, t)),
     "pow": F.pow, "power": F.pow, "radians": F.radians, "round": F.round,
     "sign": F.signum, "signum": F.signum, "sin": F.sin, "sinh": F.sinh,
     "sqrt": F.sqrt, "tan": F.tan, "tanh": F.tanh,

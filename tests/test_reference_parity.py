@@ -450,3 +450,17 @@ def test_case_function_null_condition_errors(spark):
     assert one(fn("case")(F.lit(False), F.lit(1), F.lit(True), F.lit(9))) == 9
     assert one(fn("case")(F.lit(False), F.lit(1), F.lit(2))) == 2  # default
     assert one(fn("case")(F.lit(False), F.lit(1))) is None         # no match, no default
+
+
+def test_conv_lowercase_digits(spark):
+    """conv matches the reference's lowercase digit alphabet
+    (misc_functions.rs:245 b'a' + r - 10); its digit-REVERSAL bug is
+    deliberately not replicated (PARITY_DELTAS.md)."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    assert one(fn("conv")(F.lit("255"), 10, 16)) == "ff"
+    assert one(fn("conv")(F.lit("30"), 10, 16)) == "1e"   # correct order, not 'e1'
+    assert one(fn("conv")(F.lit("z"), 36, 10)) == "35"
