@@ -625,6 +625,24 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
         return p.project_keep(*payload), col_types
     if verb == "explode":
         col, cast = payload
+        if col_types.get(col) == "dynamic":
+            # dynamic payload: the carrier holds a JSON array — surface its
+            # elements (each element re-serialized carrier-style: strings
+            # unquoted, objects/arrays compact JSON), then explode.  Without
+            # a cast the elements REMAIN dynamic, like the reference's
+            # Value::Array of Values (explode_transformation.rs).
+            n = F.json_array_length(F.col(col))
+            elems = F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.call_function(
+                    "get_json_object", F.col(col),
+                    F.concat(F.lit("$["), i.cast("string"), F.lit("]")),
+                ),
+            )
+            arr = F.when(n > 0, elems)  # null/empty/non-array → null → rows drop (inner explode)
+            p = Pipeline(p.df.withColumn(col, arr))
+            col_types[col] = cast if cast else "dynamic"
+            return p.explode(col, cast=_SPARK_TYPES.get(cast) if cast else None), col_types
         if cast:
             col_types[col] = cast
         return p.explode(col, cast=_SPARK_TYPES.get(cast) if cast else None), col_types

@@ -354,3 +354,29 @@ def test_geoip_demo_with_injected_fetcher(spark):
         spark, [{"ip": ["8.8.8.8", "9.9.9.9"]}], reg.as_dsl_sources()
     ).collect()
     assert sorted(r.city for r in ex) == ["8.8.8.8ville", "9.9.9.9ville"]
+
+
+def test_explode_dynamic_column(spark):
+    """explode over an UNTYPED (dynamic) column: the reference explodes any
+    Value::Array (explode_transformation.rs) — the JSON carrier's elements
+    surface as dynamic values (strings unquoted, objects compact JSON) and
+    chain into further expressions; empty/non-array payloads drop (inner
+    explode).  `as int` casts the elements."""
+    p = parse_pipelines(
+        't(id as int, v)\n'
+        '| explode v\n'
+        '| project tag = v + "!"\n'
+        ';'
+    )["t"]
+    rows = [
+        {"id": 1, "v": [1, 2]},
+        {"id": 2, "v": ["x", {"a": 1}]},
+        {"id": 3, "v": []},          # drops
+        {"id": 4, "v": "scalar"},    # not an array → drops
+    ]
+    got = sorted((r.id, r.tag) for r in p.run(spark, rows).collect())
+    assert got == [(1, "1!"), (1, "2!"), (2, "x!"), (2, '{"a":1}!')]
+
+    p2 = parse_pipelines('t(v)\n| explode v as int\n| project d = v * 2\n;')["t"]
+    got2 = sorted(r.d for r in p2.run(spark, [{"v": [3, 4]}]).collect())
+    assert got2 == [6, 8]
