@@ -598,12 +598,23 @@ class CompiledPipeline:
 def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> tuple[Pipeline, dict]:
     ec = ExprCompiler(col_types)
     if verb == "where":
-        return p.where(ec.compile(payload)[0]), col_types
+        c, t = ec.compile(payload)
+        # a bare dynamic predicate unwraps to boolean (reference get_bool)
+        return p.where(_dyn_as(c, t, "bool")), col_types
     if verb == "take":
         return p.take(payload), col_types
     if verb == "top":
         n, ast, asc, nulls_first = payload
-        return p.top(n, ec.compile(ast)[0], ascending=asc, nulls_first=nulls_first), col_types
+        c, t = ec.compile(ast)
+        if t == "dynamic":
+            # runtime-typed sort key: numeric payloads order numerically,
+            # everything else by its carrier text AFTER all numbers (the
+            # reference Value ordering compares numbers numerically;
+            # cross-type order is unspecified there — this one is stable)
+            txt = _dyn_text(c)
+            num = txt.cast("double")
+            c = F.struct(num.isNull().cast("int"), num, txt)
+        return p.top(n, c, ascending=asc, nulls_first=nulls_first), col_types
     if verb == "project":
         cols = {}
         for name, ast in payload:

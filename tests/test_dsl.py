@@ -380,3 +380,18 @@ def test_explode_dynamic_column(spark):
     p2 = parse_pipelines('t(v)\n| explode v as int\n| project d = v * 2\n;')["t"]
     got2 = sorted(r.d for r in p2.run(spark, [{"v": [3, 4]}]).collect())
     assert got2 == [6, 8]
+
+
+def test_where_and_top_on_dynamic(spark):
+    """A bare dynamic predicate unwraps to boolean (reference get_bool);
+    `top N by <dynamic>` orders numeric payloads NUMERICALLY — carrier-text
+    ordering would put '9' above '10'."""
+    p = parse_pipelines('t(id as int, flag, score)\n| where flag\n| top 2 by score desc\n;')["t"]
+    rows = [
+        {"id": 1, "flag": True, "score": 9},
+        {"id": 2, "flag": True, "score": 10},
+        {"id": 3, "flag": False, "score": 100},
+        {"id": 4, "flag": True, "score": 2},
+    ]
+    got = [r.id for r in p.run(spark, rows).collect()]
+    assert got == [2, 1]   # 10 > 9 numerically; id=3 filtered out
