@@ -669,6 +669,27 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
         for name, fn_name, arg_asts in aggs_ast:
             compiled = [ec.compile(a) for a in arg_asts]
             args = [c for c, _ in compiled]
+            fl = fn_name.lower()
+            if compiled and compiled[0][1] == "dynamic":
+                # runtime-typed aggregation input (reference feeds Values):
+                # numeric folds take the numeric view; min/max order numbers
+                # numerically THEN text (carrier text would rank '9' > '10')
+                # via min_by/max_by over a (is-text, number, text) struct,
+                # returning the carrier; everything else aggregates the
+                # scalar-text carrier as-is.
+                c = args[0]
+                txt = _dyn_text(c)
+                num = txt.cast("double")
+                if fl in ("sum", "avg", "mean"):
+                    args = [num, *args[1:]]
+                elif fl in ("min", "max", "least", "greatest"):
+                    key = F.struct(num.isNull().cast("int"), num, txt)
+                    expr = F.min_by(txt, key) if fl in ("min", "least") else F.max_by(txt, key)
+                    aggs[name] = expr
+                    col_types[name] = "dynamic"
+                    continue
+                else:
+                    args = [txt, *args[1:]]
             expr = agg_fn(fn_name)(*args)
             # reference avg = sum/count through DivideOperator: an integer
             # column yields Long/Long → Rust-truncated long (sum.rs:51-92 +

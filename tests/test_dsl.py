@@ -395,3 +395,19 @@ def test_where_and_top_on_dynamic(spark):
     ]
     got = [r.id for r in p.run(spark, rows).collect()]
     assert got == [2, 1]   # 10 > 9 numerically; id=3 filtered out
+
+
+def test_summarize_over_dynamic(spark):
+    """Aggregating a dynamic column: sum/avg take the numeric view; min/max
+    order numerically (carrier text would rank '9' above '10') and return
+    the carrier; count/array_agg work on the scalar text."""
+    p = parse_pipelines(
+        't(g as int, v)\n'
+        '| summarize s = sum(v), mn = min(v), mx = max(v), n = count() by g\n'
+        ';'
+    )["t"]
+    rows = [{"g": 1, "v": 9}, {"g": 1, "v": 10}, {"g": 1, "v": 2},
+            {"g": 2, "v": "b"}, {"g": 2, "v": "a"}]
+    got = {r.g: (r.s, r.mn, r.mx, r.n) for r in p.run(spark, rows).collect()}
+    assert got[1] == (21.0, "2", "10", 3)      # numeric order: max is 10, not '9'
+    assert got[2] == (None, "a", "b", 2)       # text payloads: lexical, sum null
