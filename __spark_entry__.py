@@ -1506,6 +1506,64 @@ GROUP BY kind
 """
 
 
+_EMBEDDING_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "embedding_dups.parquet"
+)
+
+
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path that replaces
+    the exact self-join (embedding_pairs) — recall-gated against planted
+    ground truth: the fixture corpus (512 base unit vectors + 64 perturbed
+    copies at cos ≈ 0.999; random pairs top out near 0.6) makes the exact
+    pair set at cos ≥ 0.99 EXACTLY the planted set, which DuckDB recomputes
+    independently.  Output: (n_strong_pairs, recall_ok ≥ 0.9) — at 8 planes
+    / multiprobe 2 the expected recall is ≈ 0.999, so the gate has margin."""
+    from feathr_online_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        normalized,
+        write_embedding_fixture,
+    )
+
+    write_embedding_fixture(_EMBEDDING_FIXTURE)
+    _prep(spark)
+    emb = spark.read.parquet(_EMBEDDING_FIXTURE)
+    found = embedding_lsh_pairs(emb, threshold=0.99, dim=64).select("a", "b")
+    unit = emb.select(F.col("vec_id").alias("a"), normalized(F.col("embedding")).alias("__va"))
+    right = unit.select(F.col("a").alias("b"), F.col("__va").alias("__vb"))
+    strong = (
+        unit.join(right, F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.aggregate(
+                F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+        )
+        .filter(F.col("cos") >= 0.99)
+        .select("a", "b")
+    )
+    hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_strong_pairs"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+         >= F.count(F.lit(1)) * 0.9).alias("recall_ok"),
+    )
+
+
+ORACLE_EMBEDDING_LSH = f"""
+WITH u AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+  FROM read_parquet('{_EMBEDDING_FIXTURE}')
+)
+SELECT count(*) AS n_strong_pairs, true AS recall_ok
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]*p[2]))
+      / (a.nrm * b.nrm) >= 0.99
+"""
+
+
 _DSL_GATE_SCRIPT = """
 # end-to-end DSL pipeline over the events table (props is a Dynamic column):
 # where → project (piper functions + JsonPath access) → lookup → computed-key
@@ -1623,15 +1681,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "prepare_corpus": q_prepare_corpus,
         "dsl_pipeline": q_dsl_pipeline,
+        "embedding_lsh": q_embedding_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # the multimodal oracle reads a generated parquet fixture: ensure it
-    # exists whichever side (Spark query / DuckDB oracle) runs first
+    # the multimodal/embedding oracles read generated parquet fixtures:
+    # ensure they exist whichever side (Spark query / DuckDB oracle) runs
+    # first
     from feathr_online_spark.operators.multimodal import write_asset_fixture
+    from feathr_online_spark.operators.similarity import write_embedding_fixture
 
     write_asset_fixture(_MULTIMODAL_FIXTURE, n=96)
+    write_embedding_fixture(_EMBEDDING_FIXTURE)
     return {
         "asof_purchase": ORACLE_ASOF_PURCHASE,
         "where_project": ORACLE_WHERE_PROJECT,
@@ -1680,4 +1742,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "prepare_corpus": ORACLE_PREPARE_CORPUS,
         "dsl_pipeline": ORACLE_DSL_PIPELINE,
+        "embedding_lsh": ORACLE_EMBEDDING_LSH,
     }

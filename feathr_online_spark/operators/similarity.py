@@ -267,3 +267,113 @@ def embedding_topk_pairs(
         "a", "b", F.round(_dot(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
     )
     return pairs.orderBy(F.col("cos_sim").desc(), F.col("a"), F.col("b")).limit(k)
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    multiprobe: int = 2,
+    seed: int = 42,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup (a, b, cos_sim) pairs via hyperplane-LSH bucketing
+    — the SCALE path that replaces embedding_topk_pairs' exact self-join at
+    100 TB: candidates come from an equi-join on bucket id (one side
+    multiprobes up to ``multiprobe`` sign-flips), so cost follows
+    Σ bucket_size² instead of |corpus|²; every candidate is then verified
+    with the exact cosine, so precision is 1.0 by construction and recall
+    follows the LSH S-curve (at cos ≥ 0.999, 8 planes, multiprobe=2 it is
+    ≈ 0.999; the planted-dup gate pins ≥ 0.9).
+
+    Planes are plan literals (no driver-side data), vectors are unit-
+    normalized map-side so verification is a bare dot product, and the
+    candidate join is explicitly widened against AQE's byte-based coalescing
+    (the pair space is CPU-heavy but byte-small)."""
+    if dim is None:
+        dim = len(corpus.select(c_vec).first()[0])
+    planes = _plane_literals(dim, n_planes, seed)
+    width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    unit = corpus.select(F.col(c_id).alias("__id"), normalized(F.col(c_vec)).alias("__v"))
+    unit = unit.withColumn("__b0", bucket_of(F.col("__v"), planes))
+    right = unit.select(F.col("__id").alias("b"), F.col("__v").alias("__vb"),
+                        F.col("__b0").alias("__bucket"))
+    probes = [F.col("__b0")]
+    if multiprobe >= 1:
+        probes += [F.col("__b0").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                   for i in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [
+            F.col("__b0")
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), j))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    left = (
+        unit.withColumn("__bucket", F.explode(F.array(*probes)))
+        .select(F.col("__id").alias("a"), F.col("__v").alias("__va"), "__bucket")
+        .repartition(width, "__bucket")
+    )
+    cand = (
+        left.join(right, "__bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])          # (a,b) can meet in several probe buckets
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(_dot(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )
+
+
+def write_embedding_fixture(
+    path: str,
+    n_base: int = 512,
+    n_dups: int = 64,
+    dim: int = 64,
+    seed: int = 42,
+    eps: float = 0.04,
+) -> str:
+    """Deterministic embedding corpus WITH planted near-duplicates: n_base
+    unit vectors plus n_dups perturbed copies of the first n_dups (noise
+    scale ``eps`` → cos ≈ 1/sqrt(1+eps²) ≈ 0.9992); at dim 64 random pairs
+    stay below cos ≈ 0.6, so the exact pair set at any threshold ≥ 0.9 IS
+    the planted set — ground truth for recall-gating approximate near-dup
+    search.  Idempotent atomic single-file pyarrow write (the multimodal
+    fixture pattern: the Spark gate query and the DuckDB oracle both ensure
+    it, so driver evaluation order cannot matter).  Dup vec_id = n_base + i
+    for base id i."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((n_dups, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dups = base[:n_dups] + eps * noise
+    vecs = np.concatenate([base, dups]).astype(np.float32)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim).cast(
+        pa.list_(pa.float32())
+    )
+    table = pa.table({"vec_id": pa.array(ids), "embedding": emb})
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path

@@ -104,3 +104,23 @@ def test_topk_pairs(corpus):
     assert all(r.a < r.b for r in rows)
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_lsh_pairs_planted_dups(spark, tmp_path):
+    """The LSH-bucketed near-dup pair path: catches ≥90% of planted
+    near-duplicates (cos ≈ 0.999) and reports NOTHING else (precision 1.0 —
+    every candidate is exact-verified)."""
+    from feathr_online_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        write_embedding_fixture,
+    )
+
+    path = str(tmp_path / "emb.parquet")
+    write_embedding_fixture(path, n_base=256, n_dups=32, dim=64)
+    emb = spark.read.parquet(path)
+    got = embedding_lsh_pairs(emb, threshold=0.99, dim=64).collect()
+    planted = {(i, 256 + i) for i in range(32)}
+    found = {(r.a, r.b) for r in got}
+    assert found <= planted                      # nothing but planted pairs
+    assert len(found) >= 0.9 * len(planted)      # recall ≥ 0.9
+    assert all(r.cos_sim >= 0.99 for r in got)
