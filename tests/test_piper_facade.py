@@ -1,0 +1,84 @@
+"""Piper facade — the reference's Python embedding API shape
+(python/src/lib.rs:399-527), exercised with the reference's own example
+scripts (python/examples/udf_example.py, lookup_example.py,
+fastapi_example.py)."""
+
+import asyncio
+
+import pytest
+
+from feathr_online_spark.piper import Piper
+
+
+def test_udf_example_shape(spark):
+    """fastapi_example.py / udf_example.py: plain per-value UDFs, (ret,
+    errors) tuple, failed cells null + error-as-value."""
+    p = Piper(
+        "t(x as int)\n| project y=inc(x), z=dec(x)\n;",
+        {},
+        {"inc": (lambda x: x + 42, "long"), "dec": (lambda x: x - 42, "long")},
+        spark=spark,
+    )
+    try:
+        rows, errors = p.process("t", {"x": 1})
+        assert errors == []
+        assert rows == [{"x": 1, "y": 43, "z": -41}]
+        rows, errors = p.process("t", [{"x": 1}, {"x": 57}])
+        assert {r["x"]: r["y"] for r in rows} == {1: 43, 57: 99}
+        # a raising UDF nulls the cell instead of failing the job
+        p2 = Piper(
+            "t(x as int)\n| project y=boom(x)\n;",
+            {},
+            {"boom": (lambda x: 1 // (x - 1), "long")},
+            spark=spark,
+        )
+        rows, _ = p2.process("t", [{"x": 1}, {"x": 3}])
+        got = {r["x"]: r["y"] for r in rows}
+        assert got == {1: None, 3: 0}
+        p2.close()
+    finally:
+        p.close()
+
+
+def test_lookup_example_shape(spark):
+    """lookup_example.py: an ASYNC callable as the lookup map value; served
+    field names harvested from the pipeline's own lookup verb.  Typed fields
+    come from `as type` (schema-first engine — documented delta)."""
+    FAKE = {1: ("John", 30), 2: ("Jane", 58), 4: ("Jill", 22)}
+
+    async def lookup_source(key, fields):
+        await asyncio.sleep(0)
+        if int(key) not in FAKE:
+            return []
+        name, age = FAKE[int(key)]
+        vals = {"name": name, "age": age}
+        return [[vals[f] for f in fields]]
+
+    p = Piper(
+        "t(x as int)\n| lookup name, age as int from fake_src on x\n;",
+        {"fake_src": lookup_source},
+        spark=spark,
+    )
+    rows, errors = p.process("t", {"x": 1})
+    assert errors == [] and rows == [{"x": 1, "name": "John", "age": 30}]
+    rows, _ = p.process("t", {"x": 4})
+    assert rows == [{"x": 4, "name": "Jill", "age": 22}]
+    rows, _ = p.process("t", {"x": 9})     # miss → null-fill
+    assert rows == [{"x": 9, "name": None, "age": None}]
+
+    # the async face (fastapi_example.py)
+    rows, errors = asyncio.run(p.process_async("t", {"x": 2}))
+    assert errors == [] and rows[0]["name"] == "Jane"
+
+
+def test_lookup_conf_path(spark):
+    """A lookup.json path as the `lookups` argument: the reference's own
+    conf + sqlite test.db serve the pipeline."""
+    p = Piper(
+        "jt(id as int)\n| join kind=left-inner name, age as int from join_test on id\n;",
+        "/root/reference/conf/lookup.json",
+        spark=spark,
+    )
+    rows, errors = p.process("jt", [{"id": 2}])
+    assert errors == []
+    assert sorted((r["name"], r["age"]) for r in rows) == [("Jill", 33), ("Jose", 34)]
