@@ -82,3 +82,28 @@ def test_lookup_conf_path(spark):
     rows, errors = p.process("jt", [{"id": 2}])
     assert errors == []
     assert sorted((r["name"], r["age"]) for r in rows) == [("Jill", 33), ("Jose", 34)]
+
+
+def test_pyspark_example_without_the_matryoshka(spark):
+    """The reference's pyspark_example.py wraps Piper.process inside a
+    per-row pyspark UDF ('pretty much like Matryoshka doll') — one GIL
+    round-trip per row.  Here the SAME pipeline applies to the whole
+    DataFrame as one Catalyst plan: Piper.pipelines[name].apply(df)."""
+    p = Piper(
+        "test_udf(x as string)\n| project y=convertCase(x)\n;",
+        functions={"convertCase": (
+            lambda s: " ".join(w[:1].upper() + w[1:] for w in s.split(" ")) + " ",
+            "string",
+        )},
+        spark=spark,
+    )
+    try:
+        df = spark.createDataFrame(
+            [("1", "john jones"), ("2", "tracey smith"), ("3", "amy sanders")],
+            ["Seqno", "x"],
+        )
+        out = p.pipelines["test_udf"].apply(df, p.sources)
+        got = {r.Seqno: r.y for r in out.collect()}
+        assert got == {"1": "John Jones ", "2": "Tracey Smith ", "3": "Amy Sanders "}
+    finally:
+        p.close()
