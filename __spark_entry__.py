@@ -1060,10 +1060,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = simhash_pairs(docs, "text", "doc_id", max_hamming=6).select("a", "b")
     strong = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select("a", "b")
     hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
+    # the count()==0 arm keeps recall vacuously TRUE on an empty strong set —
+    # sum() over zero rows is NULL and NULL >= 0 is NULL, which would
+    # hash-mismatch the oracle's pinned true
     return hit.agg(
         F.count(F.lit(1)).alias("n_strong_pairs"),
-        (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-         >= F.count(F.lit(1)) * 0.85).alias("recall_ok"),
+        ((F.count(F.lit(1)) == 0)
+         | (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.count(F.lit(1)) * 0.85)).alias("recall_ok"),
     )
 
 
@@ -1544,10 +1548,13 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
+    # count()==0 arm: vacuously-true recall on an empty strong set (see
+    # q_dedup_simhash)
     return hit.agg(
         F.count(F.lit(1)).alias("n_strong_pairs"),
-        (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-         >= F.count(F.lit(1)) * 0.9).alias("recall_ok"),
+        ((F.count(F.lit(1)) == 0)
+         | (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.count(F.lit(1)) * 0.9)).alias("recall_ok"),
     )
 
 

@@ -103,6 +103,28 @@ def gen_features(n_rows: int, n_entities: int, seed: int = SEED + 1) -> pa.Table
     )
 
 
+def write_parquet_fixture(path: str, build_table) -> str:
+    """Shared idempotent-atomic single-file fixture writer: skip if ``path``
+    exists, else materialize ``build_table()`` (a pyarrow Table) through a
+    mkstemp temp + os.replace — safe against concurrent writers (each gets
+    its own temp; the loser's rename just overwrites identical deterministic
+    content).  Used by the multimodal asset and embedding-dup fixtures."""
+    import tempfile
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
+    os.close(fd)
+    try:
+        pq.write_table(build_table(), tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
 def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None,
                   hot_frac: float | None = None) -> dict[str, str]:
     """Write sequences/features parquet under ``out_dir``; returns paths.
@@ -126,7 +148,13 @@ def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None,
         if n_seq <= chunk:
             pq.write_table(gen_sequences(n_seq, hot_frac=hot_frac), seq_path, row_group_size=65536)
         else:
-            tmp = seq_path + ".tmp"
+            import tempfile
+
+            # mkstemp, not a fixed '.tmp' name: two concurrent writers with
+            # a shared temp path would interleave into one file and publish
+            # a corrupt parquet via os.replace
+            fd, tmp = tempfile.mkstemp(suffix=".parquet.tmp", dir=out_dir)
+            os.close(fd)
             writer = None
             try:
                 for ci, start in enumerate(range(0, n_seq, chunk)):
@@ -137,10 +165,15 @@ def write_fixture(out_dir: str, n_seq: int = 10_000, n_feat: int | None = None,
                     if writer is None:
                         writer = pq.ParquetWriter(tmp, t.schema)
                     writer.write_table(t, row_group_size=65536)
+                if writer is not None:
+                    writer.close()
+                    writer = None
+                os.replace(tmp, seq_path)
             finally:
                 if writer is not None:
                     writer.close()
-            os.replace(tmp, seq_path)
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
     if not os.path.exists(feat_path):
         pq.write_table(gen_features(n_feat, n_entities), feat_path, row_group_size=65536)
     return {"sequences": seq_path, "features": feat_path}

@@ -307,8 +307,10 @@ def _dyn_text(e: Column) -> Column:
     string scalar — get_json_object unquotes strings — so re-unwrapping plain
     text like ``bob`` would parse-fail to null.  The coalesce falls back to
     the raw carrier in that case, matching the reference Value model where
-    ``obj.name`` is simply the string (value.rs get_string)."""
-    return F.coalesce(F.get_json_object(e, "$"), e)
+    ``obj.name`` is simply the string (value.rs get_string).  A carrier that
+    is literally ``null`` (a JSON null payload) must NOT be resurrected as
+    the 4-char string — it is Value::Null."""
+    return F.coalesce(F.get_json_object(e, "$"), F.when(e != "null", e))
 
 
 def _dyn_as(e: Column, t: str | None, want: str) -> Column:
@@ -489,13 +491,18 @@ class ExprCompiler:
                     # element count, anything else → length of the scalar text
                     return F.coalesce(F.json_array_length(c), F.length(_dyn_text(c))).cast("int"), "int"
                 return F.length(c), "int"
-            # to_json of a dynamic value IS its carrier: the carrier already
-            # holds the value's compact-JSON serialization (strings quoted,
-            # like the reference's serde to_string — to_json.rs:16-25)
+            # to_json of a dynamic value is its carrier — EXCEPT that a
+            # JsonPath step leaves string scalars unquoted (get_json_object
+            # strips quotes), so a carrier that no longer parses as JSON must
+            # be re-serialized as a quoted string (to_json.rs:16-25 serde)
             if name.lower() == "to_json" and len(ast[2]) == 1:
                 c, ct = self.compile(ast[2][0])
                 if ct == "dynamic":
-                    return c, "string"
+                    return (
+                        F.when(F.get_json_object(c, "$").isNotNull(), c)
+                        .otherwise(lookup_fn("to_json")(c)),
+                        "string",
+                    )
                 return lookup_fn("to_json")(c), "string"
             # strftime-format functions take the format as a python string
             if name.lower() in ("to_unix_timestamp", "unix_timestamp", "timestamp") and len(ast[2]) == 2 and ast[2][1][0] == "str":
@@ -610,10 +617,13 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
             # runtime-typed sort key: numeric payloads order numerically,
             # everything else by its carrier text AFTER all numbers (the
             # reference Value ordering compares numbers numerically;
-            # cross-type order is unspecified there — this one is stable)
+            # cross-type order is unspecified there — this one is stable).
+            # The struct must stay SQL-NULL for null carriers, or the verb's
+            # nulls first/last flag would be silently inert
             txt = _dyn_text(c)
             num = txt.cast("double")
-            c = F.struct(num.isNull().cast("int"), num, txt)
+            key = F.struct(num.isNull().cast("int"), num, txt)
+            c = F.when(c.isNotNull() & txt.isNotNull(), key)
         return p.top(n, c, ascending=asc, nulls_first=nulls_first), col_types
     if verb == "project":
         cols = {}

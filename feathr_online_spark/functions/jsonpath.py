@@ -125,9 +125,12 @@ def select(obj, steps: list) -> list:
     return cur
 
 
-def _serialize(v) -> str:
-    """Reference Value rendering: strings unquoted, other values compact JSON
-    (matches how the previous array<string> binding surfaced values)."""
+def _serialize(v) -> str | None:
+    """Reference Value rendering: strings unquoted, other values compact
+    JSON, JSON null → SQL NULL (the reference's Value::Null IS null — a
+    'null' STRING would compare equal to the text \"null\")."""
+    if v is None:
+        return None
     if isinstance(v, str):
         return v
     return json.dumps(v, separators=(",", ":"))
@@ -189,6 +192,7 @@ def get_json_object_udf(path: str):
             except (ValueError, TypeError):
                 return None
             hits = select(doc, steps)
+            # a JSON-null first match IS null (Value::Null), same as no match
             return _serialize(hits[0]) if hits else None
 
         return s.map(run)

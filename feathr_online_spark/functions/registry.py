@@ -94,37 +94,15 @@ def _get_json_array(col, path: str):
     serialize elements identically: strings unquoted, objects/arrays compact
     JSON, JSON null → 'null' (the evaluator's _serialize).
 
-    The fast path stays fully JVM-side: element extraction is a ``transform``
-    over ``$[i]`` sub-paths, so arrays of OBJECTS serialize correctly (the
-    old ``from_json(..., "array<string>")`` coerced them to null)."""
+    No native fast path: Spark's get_json_object output is LOSSY text — a
+    STRING value that happens to look like a JSON array ('{"a": "[1,2]"}')
+    is indistinguishable from an actual array, and a JSON-null match from a
+    missing one — so a JVM-side reimplementation silently diverges from the
+    evaluator on exactly those inputs (found in round-3 code review).  The
+    Arrow-vectorized evaluator parses the document once and keeps real
+    types; it IS the semantics."""
     from feathr_online_spark.functions import jsonpath as JP
 
-    if JP.spark_native_path(path) and "*" not in path:
-        c = _c(col)
-        raw = F.get_json_object(c, path)          # the single match, as text
-        nlen = F.json_array_length(raw)           # null unless it's an array
-        elems = F.transform(
-            F.sequence(F.lit(0), nlen - 1),
-            lambda i: F.coalesce(
-                # call_function: the python wrapper insists on a literal path,
-                # but the SQL function accepts a per-row path expression
-                F.call_function(
-                    "get_json_object", raw,
-                    F.concat(F.lit("$["), i.cast("string"), F.lit("]")),
-                ),
-                F.lit("null"),
-            ),
-        )
-        empty = F.array().cast("array<string>")
-        null_arr = F.lit(None).cast("array<string>")
-        valid = F.get_json_object(c, "$").isNotNull()  # invalid JSON → null (error-as-value)
-        return (
-            F.when(c.isNull() | ~valid, null_arr)
-            .when(raw.isNull(), empty)               # no match → []
-            .when(nlen == 0, empty)                  # match is [] (sequence(0,-1) would descend)
-            .when(nlen.isNotNull(), elems)           # match is an array → its elements
-            .otherwise(F.array(raw))                 # scalar/object match → one serialized element
-        )
     return JP.get_json_array_udf(path)(_c(col))
 
 

@@ -266,36 +266,24 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def write_asset_fixture(path: str, n: int = 96, seed: int = 42) -> str:
     """Materialize synth_asset_rows as ONE parquet file (pyarrow, no Spark) —
-    idempotent and atomic (temp file + rename), so the Spark gate query and
-    the DuckDB oracle can both ensure it exists without racing."""
-    import os
-    import tempfile
+    idempotent and atomic via the shared fixture writer, so the Spark gate
+    query and the DuckDB oracle can both ensure it exists without racing."""
+    from feathr_online_spark.datagen import write_parquet_fixture
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    def build():
+        import pyarrow as pa
 
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = synth_asset_rows(n, seed)
-    cols = list(zip(*rows))
-    table = pa.table(
-        {
-            "asset_id": pa.array(cols[0], pa.int64()),
-            "kind": pa.array(cols[1], pa.string()),
-            "payload": pa.array(cols[2], pa.binary()),
-            "mime": pa.array(cols[3], pa.string()),
-            "width": pa.array(cols[4], pa.int64()),
-            "height": pa.array(cols[5], pa.int64()),
-            "duration_ms": pa.array(cols[6], pa.int64()),
-        }
-    )
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    try:
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)  # atomic on POSIX; loser of a race just overwrites
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    return path
+        cols = list(zip(*synth_asset_rows(n, seed)))
+        return pa.table(
+            {
+                "asset_id": pa.array(cols[0], pa.int64()),
+                "kind": pa.array(cols[1], pa.string()),
+                "payload": pa.array(cols[2], pa.binary()),
+                "mime": pa.array(cols[3], pa.string()),
+                "width": pa.array(cols[4], pa.int64()),
+                "height": pa.array(cols[5], pa.int64()),
+                "duration_ms": pa.array(cols[6], pa.int64()),
+            }
+        )
+
+    return write_parquet_fixture(path, build)

@@ -342,38 +342,27 @@ def write_embedding_fixture(
     scale ``eps`` → cos ≈ 1/sqrt(1+eps²) ≈ 0.9992); at dim 64 random pairs
     stay below cos ≈ 0.6, so the exact pair set at any threshold ≥ 0.9 IS
     the planted set — ground truth for recall-gating approximate near-dup
-    search.  Idempotent atomic single-file pyarrow write (the multimodal
-    fixture pattern: the Spark gate query and the DuckDB oracle both ensure
+    search.  Idempotent atomic single-file pyarrow write via the shared
+    fixture writer (the Spark gate query and the DuckDB oracle both ensure
     it, so driver evaluation order cannot matter).  Dup vec_id = n_base + i
     for base id i."""
-    import os
-    import tempfile
+    from feathr_online_spark.datagen import write_parquet_fixture
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    def build():
+        import numpy as np
+        import pyarrow as pa
 
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rng = np.random.default_rng(seed)
-    base = rng.standard_normal((n_base, dim))
-    base /= np.linalg.norm(base, axis=1, keepdims=True)
-    noise = rng.standard_normal((n_dups, dim))
-    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-    dups = base[:n_dups] + eps * noise
-    vecs = np.concatenate([base, dups]).astype(np.float32)
-    ids = np.arange(len(vecs), dtype=np.int64)
-    emb = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim).cast(
-        pa.list_(pa.float32())
-    )
-    table = pa.table({"vec_id": pa.array(ids), "embedding": emb})
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path))
-    os.close(fd)
-    try:
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    return path
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n_base, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        noise = rng.standard_normal((n_dups, dim))
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        dups = base[:n_dups] + eps * noise
+        vecs = np.concatenate([base, dups]).astype(np.float32)
+        ids = np.arange(len(vecs), dtype=np.int64)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim).cast(
+            pa.list_(pa.float32())
+        )
+        return pa.table({"vec_id": pa.array(ids), "embedding": emb})
+
+    return write_parquet_fixture(path, build)

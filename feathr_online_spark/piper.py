@@ -65,9 +65,19 @@ class Piper:
             spark = SparkSession.getActiveSession() or get_spark()
         self.spark = spark
         self._udf_names: list[str] = []
+        self._shadowed: dict[str, object] = {}
+        from feathr_online_spark.functions import registry as _reg
+
         for name, f in (functions or {}).items():
             fn, rtype = f if isinstance(f, tuple) else (f, "string")
-            unregister_udf(name)  # a rebuilt Piper wins, like rebuilding the reference
+            # a user function may shadow a built-in (or a previous Piper's
+            # UDF) for this instance's lifetime — snapshot whatever held the
+            # name so close() can RESTORE it instead of deleting a built-in
+            # from the process-wide registry
+            prev = _reg._REGISTRY.get(name.lower())
+            if prev is not None:
+                self._shadowed[name.lower()] = prev
+            unregister_udf(name)
             register_udf(name, _wrap_scalar(fn), rtype)
             self._udf_names.append(name)
         self.pipelines: dict[str, CompiledPipeline] = parse_pipelines(pipelines)
@@ -137,7 +147,13 @@ class Piper:
         return await asyncio.to_thread(self.process, pipeline_name, data, error_report)
 
     def close(self) -> None:
-        """Unregister this instance's UDFs from the global registry."""
+        """Unregister this instance's UDFs, restoring anything they
+        shadowed (built-ins survive a Piper lifecycle)."""
+        from feathr_online_spark.functions import registry as _reg
+
         for n in self._udf_names:
             unregister_udf(n)
+            prev = self._shadowed.pop(n.lower(), None)
+            if prev is not None:
+                _reg._REGISTRY[n.lower()] = prev
         self._udf_names = []

@@ -411,3 +411,29 @@ def test_summarize_over_dynamic(spark):
     got = {r.g: (r.s, r.mn, r.mx, r.n) for r in p.run(spark, rows).collect()}
     assert got[1] == (21.0, "2", "10", 3)      # numeric order: max is 10, not '9'
     assert got[2] == (None, "a", "b", 2)       # text payloads: lexical, sum null
+
+
+def test_review_fixes_dynamic_edges(spark):
+    """Round-3 review regressions: to_json of a JsonPath-derived string
+    carrier re-quotes (the carrier is unquoted after get_json_object); a
+    JSON-null dynamic payload is SQL NULL, not the text 'null'; dynamic top
+    keys keep SQL nulls null so nulls-first/last flags work."""
+    p = parse_pipelines(
+        't(obj, d)\n'
+        '| project j = to_json(obj.name), dn = d is null\n'
+        ';'
+    )["t"]
+    out = p.run(spark, [{"obj": {"name": "bob"}, "d": None}]).collect()[0]
+    assert out.j == '"bob"'          # re-quoted, valid JSON
+    assert out.dn is True
+
+    # null carrier text must not resurrect as 'null'
+    p2 = parse_pipelines('t(d)\n| project cat = d + "!"\n;')["t"]
+    r2 = p2.run(spark, [{"d": None}]).collect()[0]
+    assert r2.cat is None
+
+    # nulls first flag works on dynamic sort keys
+    p3 = parse_pipelines('t(id as int, s)\n| top 2 by s asc nulls first\n;')["t"]
+    rows = [{"id": 1, "s": 5}, {"id": 2, "s": None}, {"id": 3, "s": 1}]
+    got = [r.id for r in p3.run(spark, rows).collect()]
+    assert got == [2, 3]             # null leads, then smallest number

@@ -179,4 +179,24 @@ def test_get_json_array_object_elements_consistent(spark):
     assert out.one_native == out.one_eval == ["5"]
     assert out.empty_native == out.empty_eval == []
     assert out.miss_native == out.miss_eval == []
-    assert out.mixed_native == out.mixed_eval == ["1", "s", "null", "[2]"]
+    # a JSON-null element is SQL NULL (Value::Null), not the text 'null'
+    assert out.mixed_native == out.mixed_eval == ["1", "s", None, "[2]"]
+
+
+def test_get_json_array_lossy_text_edges(spark):
+    """Round-3 review findings: a STRING value that looks like a JSON array
+    must stay ONE string element (Spark's native get_json_object text output
+    cannot distinguish it — which is why there is no native fast path);
+    JSON-null matches are [null]; a 'null' document selects nothing."""
+    df = spark.createDataFrame(
+        [('{"a": "[1,2]", "b": null}',), ("null",)], "j string"
+    )
+    out = df.select(
+        fn("get_json_array")(F.col("j"), "$.a").alias("str_arr"),
+        fn("get_json_array")(F.col("j"), "$.b").alias("null_match"),
+        fn("get_json_object")(F.col("j"), "$.b").alias("null_obj"),
+    ).collect()
+    assert out[0].str_arr == ["[1,2]"]       # string stays a string
+    assert out[0].null_match == [None]       # Value::Null element
+    assert out[0].null_obj is None
+    assert out[1].str_arr == []              # 'null' doc: no field matches

@@ -107,3 +107,22 @@ def test_pyspark_example_without_the_matryoshka(spark):
         assert got == {"1": "John Jones ", "2": "Tracey Smith ", "3": "Amy Sanders "}
     finally:
         p.close()
+
+
+def test_udf_shadowing_restores_builtin(spark):
+    """A user UDF may shadow a built-in for the Piper's lifetime; close()
+    must RESTORE the built-in, not delete it from the process registry."""
+    from feathr_online_spark.functions.registry import fn
+
+    p = Piper(
+        "t(x as int)\n| project y = round(x)\n;",
+        functions={"round": (lambda x: 99, "long")},
+        spark=spark,
+    )
+    rows, _ = p.process("t", {"x": 3})
+    assert rows[0]["y"] == 99          # shadowed
+    p.close()
+    assert fn("round") is not None     # built-in restored
+    p2 = Piper("t(x as double)\n| project y = round(x)\n;", spark=spark)
+    rows, _ = p2.process("t", {"x": 3.4})
+    assert rows[0]["y"] == 3.0         # built-in semantics back
