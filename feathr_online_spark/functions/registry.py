@@ -89,10 +89,8 @@ def _get_json_array(col, path: str):
     One deliberate, documented delta: a single-location path (fields/indexes
     only, e.g. ``$.a``) whose match IS an array unwraps into its elements —
     so ``$.a`` and the reference-canonical ``$.a[*]`` agree — instead of the
-    reference's one-element array-of-array.  Both the native fast path and
-    the Arrow evaluator (functions/jsonpath.py) apply the same rule, and both
-    serialize elements identically: strings unquoted, objects/arrays compact
-    JSON, JSON null → 'null' (the evaluator's _serialize).
+    reference's one-element array-of-array.  Elements serialize as strings
+    unquoted, objects/arrays compact JSON, JSON null → SQL NULL.
 
     No native fast path: Spark's get_json_object output is LOSSY text — a
     STRING value that happens to look like a JSON array ('{"a": "[1,2]"}')
@@ -238,6 +236,40 @@ def _ascii_piper(s):
     return F.when(F.length(s) == 0, F.lit(None).cast("int")).otherwise(F.ascii(s))
 
 
+def _array_except_piper(a, b):
+    """Reference array_except is a FILTER, not a set op (array_functions.rs:
+    19-27): left-side duplicates and order are preserved ([1,1,2]∖[2] =
+    [1,1]); Spark's array_except dedups.  Membership is Value equality →
+    null-safe equals."""
+    a, b = _c(a), _c(b)
+    return F.filter(a, lambda x: ~F.exists(b, lambda e: e.eqNullSafe(x)))
+
+
+def _array_intersect_piper(a, b):
+    """Reference array_intersect keeps left duplicates/order
+    (array_functions.rs:29-37); Spark dedups."""
+    a, b = _c(a), _c(b)
+    return F.filter(a, lambda x: F.exists(b, lambda e: e.eqNullSafe(x)))
+
+
+def _array_union_piper(a, b):
+    """Reference array_union = the left array VERBATIM (duplicates kept)
+    plus each right element not already present (array_functions.rs:
+    167-175); Spark dedups both sides."""
+    a, b = _c(a), _c(b)
+    fresh = F.array_distinct(F.filter(b, lambda y: ~F.exists(a, lambda e: e.eqNullSafe(y))))
+    return F.concat(a, fresh)
+
+
+def _arrays_zip_piper(a, b):
+    """Reference arrays_zip pairs elements as 2-element ARRAYS and TRUNCATES
+    to the shorter input (array_functions.rs:186-197); Spark returns structs
+    padded with nulls to the longer."""
+    a, b = _c(a), _c(b)
+    n = F.least(F.size(a), F.size(b))
+    return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y))
+
+
 def _array_position_piper(arr, v):
     """Reference array_position returns NULL when the value is absent
     (array_functions.rs:135-143); Spark returns 0.  Both are 1-based."""
@@ -346,13 +378,13 @@ _REGISTRY: dict[str, object] = {
     "unix_millis": F.unix_millis, "unix_seconds": F.unix_seconds,
     # --- array (array_functions.rs, misc_functions.rs:306-359, len.rs) ---
     "array": F.array, "array_contains": _array_contains_piper,
-    "array_distinct": F.array_distinct, "array_except": F.array_except,
-    "array_intersect": F.array_intersect, "array_join": F.array_join,
+    "array_distinct": F.array_distinct, "array_except": _array_except_piper,
+    "array_intersect": _array_intersect_piper, "array_join": F.array_join,
     "array_max": F.array_max, "array_min": F.array_min,
     "array_position": _array_position_piper, "array_remove": F.array_remove,
     "array_repeat": F.array_repeat, "array_size": F.array_size,
-    "array_union": F.array_union, "arrays_overlap": F.arrays_overlap,
-    "arrays_zip": F.arrays_zip, "flatten": F.flatten, "size": F.size,
+    "array_union": _array_union_piper, "arrays_overlap": F.arrays_overlap,
+    "arrays_zip": _arrays_zip_piper, "flatten": F.flatten, "size": F.size,
     "slice": P.slice0,                   # piper 0-based [start, end)
     "element_at": P.element_at0,         # piper 0-based, null OOR
     "elt": F.elt, "length": _piper_len, "len": _piper_len,

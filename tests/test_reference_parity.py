@@ -464,3 +464,22 @@ def test_conv_lowercase_digits(spark):
     assert one(fn("conv")(F.lit("255"), 10, 16)) == "ff"
     assert one(fn("conv")(F.lit("30"), 10, 16)) == "1e"   # correct order, not 'e1'
     assert one(fn("conv")(F.lit("z"), 36, 10)) == "35"
+
+
+def test_array_set_ops_keep_duplicates(spark):
+    """array_functions.rs: except/intersect are FILTERS that keep the left
+    side's duplicates and order (Spark's versions dedup); union is the left
+    array verbatim plus unseen right elements; arrays_zip pairs as 2-element
+    arrays TRUNCATED to the shorter input (Spark pads structs)."""
+    from feathr_online_spark.functions.registry import fn
+
+    def one(expr):
+        return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+    a = F.array(F.lit(1), F.lit(1), F.lit(2), F.lit(3))
+    b = F.array(F.lit(2), F.lit(4), F.lit(4))
+    assert one(fn("array_except")(a, b)) == [1, 1, 3]
+    assert one(fn("array_intersect")(a, b)) == [2]
+    assert one(fn("array_intersect")(F.array(F.lit(2), F.lit(2)), b)) == [2, 2]
+    assert one(fn("array_union")(a, b)) == [1, 1, 2, 3, 4]
+    assert one(fn("arrays_zip")(a, b)) == [[1, 2], [1, 4], [2, 4]]  # min length
