@@ -575,12 +575,20 @@ class CompiledPipeline:
     def apply(self, df: DataFrame, sources: dict[str, tuple[DataFrame, str]] | None = None) -> DataFrame:
         """Run the compiled stages over an existing DataFrame.  ``sources``
         maps lookup-source name → (DataFrame, key column)."""
+        return self.apply_with_types(df, sources)[0]
+
+    def apply_with_types(
+        self, df: DataFrame, sources: dict[str, tuple[DataFrame, str]] | None = None
+    ) -> tuple[DataFrame, dict[str, str | None]]:
+        """apply() plus the tracked static piper type per output column —
+        consumers that materialize rows (the Piper facade) use it to decode
+        'dynamic' columns' JSON carriers back into python values."""
         sources = sources or {}
         col_types = dict(self.input_schema)
         p = Pipeline(df)
         for verb, payload in self.stages:
             p, col_types = _apply_stage(p, col_types, verb, payload, sources)
-        return p.df
+        return p.df, col_types
 
     def run(self, spark: SparkSession, rows: list[dict], sources=None) -> DataFrame:
         """Reference entry-point parity: materialize a request row set

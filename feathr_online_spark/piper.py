@@ -125,12 +125,19 @@ class Piper:
         pipeline → ``(rows, errors)``: rows as dicts, failed cells null, and
         one error record per non-null ``_err_*`` marker (the error-as-value
         side channel; [] when the pipeline has no fallible stages)."""
+        import json
+
         if pipeline_name not in self.pipelines:
             raise KeyError(f"unknown pipeline '{pipeline_name}'")
         rows_in = [data] if isinstance(data, dict) else list(data)
-        df = self.pipelines[pipeline_name].run(self.spark, rows_in, self.sources)
+        pipe = self.pipelines[pipeline_name]
+        # build the request DataFrame keeping the per-column piper types so
+        # dynamic carriers decode back to python values — the reference's
+        # rows are runtime-typed, not JSON text
+        df, types = self._run_with_types(pipe, rows_in)
         collected = df.collect()
         err_cols = [c for c in df.columns if c.startswith("_err_")]
+        dyn_cols = [c for c in df.columns if types.get(c) == "dynamic"]
         rows, errors = [], []
         for i, r in enumerate(collected):
             d = r.asDict(recursive=True)
@@ -138,8 +145,32 @@ class Piper:
                 msg = d.pop(ec)
                 if error_report and msg is not None:
                     errors.append({"row": i, "column": ec[len("_err_"):], "message": msg})
+            for dc in dyn_cols:
+                v = d[dc]
+                if isinstance(v, str):
+                    try:
+                        d[dc] = json.loads(v)
+                    except ValueError:
+                        pass  # unquoted JsonPath-derived text stays a string
             rows.append(d)
         return rows, errors
+
+    def _run_with_types(self, pipe, rows_in):
+        """CompiledPipeline.run, but returning (df, output piper types)."""
+        import json as _json
+
+        from feathr_online_spark.dsl import _SPARK_TYPES as _ST
+
+        schema = ", ".join(f"{n} {_ST[t]}" for n, t in pipe.input_schema)
+
+        def enc(v, t):
+            if t == "dynamic" and v is not None:
+                return _json.dumps(v, separators=(",", ":"))
+            return v
+
+        data = [tuple(enc(r.get(n), t) for n, t in pipe.input_schema) for r in rows_in]
+        df = self.spark.createDataFrame(data, schema)
+        return pipe.apply_with_types(df, self.sources)
 
     async def process_async(self, pipeline_name: str, data, error_report: bool = True):
         """Async face for async webframeworks (fastapi_example.py shape); the

@@ -126,3 +126,17 @@ def test_udf_shadowing_restores_builtin(spark):
     p2 = Piper("t(x as double)\n| project y = round(x)\n;", spark=spark)
     rows, _ = p2.process("t", {"x": 3.4})
     assert rows[0]["y"] == 3.0         # built-in semantics back
+
+
+def test_dynamic_outputs_decode_to_python_values(spark):
+    """process() returns runtime-typed python values for untyped (dynamic)
+    columns — the reference's rows are Values, not JSON text."""
+    p = Piper("t(x)\n| project d = x * 2\n;", spark=spark)
+    rows, _ = p.process("t", [{"x": 21}, {"x": 2.5}])
+    got = sorted(r["x"] for r in rows)
+    assert got == [2.5, 21]                 # inputs decode back (21, not "21")
+    assert {r["d"] for r in rows} == {42.0, 5.0}
+    p2 = Piper("t(obj)\n| project name = obj.name, whole = obj\n;", spark=spark)
+    rows, _ = p2.process("t", {"obj": {"name": "bob", "n": 2}})
+    assert rows[0]["whole"] == {"name": "bob", "n": 2}   # object decodes to dict
+    assert rows[0]["name"] == "bob"
