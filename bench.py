@@ -45,7 +45,7 @@ def north_rule_job(spark, seq_path: str, feat_path: str):
     seq = spark.read.parquet(seq_path).select(
         "doc_id", "entity", "event_time", "n_tok", "source",
         # derive token features map-side, pre-shuffle; drop the wide array
-        (F.col("n_tok") / F.size("tokens")).alias("tok_ratio"),
+        (F.col("n_tok") / F.nullif(F.size("tokens"), F.lit(-1))).alias("tok_ratio"),
         F.xxhash64("tokens").alias("tok_fingerprint"),
     )
     feat = spark.read.parquet(feat_path)
@@ -80,7 +80,7 @@ def north_rule_job_bucketed(spark, seq_path: str, feat_path: str,
 
     seq = spark.read.parquet(seq_path).select(
         "doc_id", "entity", "event_time", "n_tok", "source",
-        (F.col("n_tok") / F.size("tokens")).alias("tok_ratio"),
+        (F.col("n_tok") / F.nullif(F.size("tokens"), F.lit(-1))).alias("tok_ratio"),
         F.xxhash64("tokens").alias("tok_fingerprint"),
     )
     feat = spark.read.parquet(feat_path)

@@ -23,11 +23,22 @@ def bucket_of(entity_col: str, n_buckets: int):
     return F.pmod(F.col(entity_col), F.lit(n_buckets)).cast("long")
 
 
+def _manifest_exists(spark: SparkSession, manifest_path: str) -> bool:
+    """Existence via the HADOOP filesystem of the path (hdfs://, s3a://,
+    file:///, …) — NOT os.path.exists, which only sees the driver's local
+    disk and would make every cluster run silently resume as-if-empty
+    (exactly the failure this module exists to prevent)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def load_done_partitions(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Read the manifest; empty DataFrame ONLY when it genuinely doesn't
     exist yet.  A corrupt/unreadable manifest must FAIL the run — silently
     treating it as 'nothing done' would re-append every completed bucket."""
-    if not os.path.exists(manifest_path):
+    if not _manifest_exists(spark, manifest_path):
         return spark.createDataFrame([], "bucket long")
     try:
         return spark.read.parquet(manifest_path).select("bucket").distinct()

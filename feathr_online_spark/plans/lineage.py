@@ -1,10 +1,12 @@
 """Per-partition lineage/metrics emission (north_star requirement).
 
-Every production run appends one row per task partition to a metrics table:
-``(partition_id, rows, checksum, wall_time_s)``.  Implemented as a single
-``mapInPandas`` pass — Arrow-batched, O(rows) with no extra shuffle — that
-both *passes data through unchanged* (lineage as a transparent pipeline stage)
-or, via ``partition_lineage``, computes the metrics table as its own action.
+Every production run records one row per work unit in a metrics table:
+``partition_lineage(df)`` → one row per TASK partition
+(``(partition_id, rows, checksum, wall_time_s)``, a single Arrow-batched
+``mapInPandas`` pass, no extra shuffle); ``partition_lineage(df, by=col)``
+→ one row per LOGICAL unit (e.g. the checkpoint bucket), fully JVM-side
+(``groupBy`` + the ``bit_xor`` aggregate) — the form the production job
+keys its idempotent metrics writes by.
 
 The checksum is an order-insensitive XOR-fold of per-row xxhash64 so it is
 stable under any task scheduling, making it usable for resume verification
@@ -29,13 +31,26 @@ LINEAGE_SCHEMA = StructType(
 )
 
 
-def partition_lineage(df: DataFrame) -> DataFrame:
-    """Compute the lineage/metrics DataFrame for ``df``: one row per partition.
+def partition_lineage(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Compute the lineage/metrics DataFrame for ``df``: one row per task
+    partition, or — with ``by`` — one row per logical group
+    ``(by, rows, checksum)``, computed entirely JVM-side with the
+    ``bit_xor`` aggregate (same order-insensitive checksum definition).
 
-    Row hash is computed JVM-side (xxhash64 over all columns) before the
-    pandas fold, so Python only sees one long column — the hot path stays
-    vectorized.
+    Row hash is computed JVM-side (xxhash64 over all columns) before any
+    fold, so Python (in the per-partition form) only sees one long column —
+    the hot path stays vectorized.
     """
+    if by is not None:
+        data_cols = [c for c in df.columns if c != by]
+        return (
+            df.select(F.col(by), F.xxhash64(*[F.col(c) for c in data_cols]).alias("__h"))
+            .groupBy(by)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr("bit_xor(__h)").alias("checksum"),
+            )
+        )
     hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")).withColumn(
         "__pid", F.spark_partition_id().cast("long")
     )

@@ -17,10 +17,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, k: int, salt_col: str = "__salt", from_cols: list[str] | None = None) -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    k: int,
+    salt_col: str = "__salt",
+    from_cols: list[str] | None = None,
+    per_row: bool = False,
+) -> DataFrame:
     """Add a salt in [0, k): deterministic hash over ``from_cols`` (default:
-    all columns) — stable across retries, unlike rand()."""
+    all columns) — stable across retries, unlike rand().
+
+    ``per_row=True`` mixes ``monotonically_increasing_id()`` into the hash:
+    byte-identical rows (re-crawled duplicate documents under one hot key —
+    the very skew the dedup operators exist for) would otherwise all hash to
+    ONE salt and the spread degenerates to the unsalted straggler.  Per-row
+    salts are fine for JOIN spreading (each replica of the small side serves
+    any salt) but must NOT be used where the salt partitions a
+    distinct-count (see salted_aggregate)."""
     cols = [F.col(c) for c in (from_cols or df.columns)]
+    if per_row:
+        cols = [*cols, F.monotonically_increasing_id()]
     return df.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(k)))
 
 
@@ -49,7 +65,10 @@ def salted_join(
                          f"side is replicated {k}×, so unmatched small-side rows "
                          f"of an outer join would duplicate")
     keys = [on] if isinstance(on, str) else list(on)
-    b = with_salt(big, k)
+    # per_row: duplicate-heavy hot keys (identical rows hash to one salt)
+    # still spread; join correctness is unaffected — every small-side
+    # replica carries every salt value
+    b = with_salt(big, k, per_row=True)
     s = replicate(small, k)
     out = b.join(s, keys + ["__salt"], how)
     return out.drop("__salt")
@@ -60,6 +79,7 @@ def salted_aggregate(
     keys: list[str],
     aggs: dict[str, tuple[Column, Column]],
     k: int,
+    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation for hot grouping keys: group on (keys, salt) with
     the partial aggregate, then on keys with the merge aggregate.
@@ -72,10 +92,24 @@ def salted_aggregate(
             "sum_v": (F.sum("value"), F.sum("sum_v")),
         }, k=16)
 
+    ``salt_from`` is REQUIRED for distinct-style partials: the salt
+    partitions the rows, so a countDistinct partial is only mergeable by
+    SUM when all copies of each distinct value land in ONE salt bucket —
+    i.e. the salt must be a function of the distinct-target column::
+
+        salted_aggregate(df, ["source"], {
+            "du": (F.countDistinct("user"), F.sum("du")),
+        }, k=16, salt_from=["user"])
+
+    (The all-columns default would split one user's rows across salts and
+    the sum would overcount.)  Algebraic aggregates (count/sum/min/max) are
+    merge-safe under any salt.
+
     Note: Spark's own partial+final hash agg already does this for algebraic
     aggregates — reach for salted_aggregate only for the cases it can't help
-    (e.g. exact distinct-count per hot key, collect-based aggs).
+    (exact distinct-count per hot key, collect-based aggs).
     """
-    partial = df.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(k)))
+    salt_cols = [F.col(c) for c in (salt_from or df.columns)]
+    partial = df.withColumn("__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(k)))
     p = partial.groupBy(*keys, "__salt").agg(*[pexpr.alias(name) for name, (pexpr, _) in aggs.items()])
     return p.groupBy(*keys).agg(*[mexpr.alias(name) for name, (_, mexpr) in aggs.items()])

@@ -71,18 +71,27 @@ def stream_forward_fill(
     ncols = list(cols)
 
     def fill(key, pdfs, state):
+        import pandas as pd
+
+        # applyInPandasWithState delivers the group as an ITERATOR of Arrow
+        # chunks (~10k rows each); processing them independently would fill
+        # later chunks from earlier chunks' values regardless of event time
+        # and let state regress — concat and sort the WHOLE micro-batch once
+        chunks = list(pdfs)
+        if not chunks:
+            return
         last = list(state.get) if state.exists else [None] * len(ncols)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts, kind="mergesort")
-            for i, c in enumerate(ncols):
-                s = pdf[c].ffill()
-                if last[i] is not None:
-                    s = s.fillna(last[i])
-                pdf[c] = s
-                nn = s.dropna()
-                if len(nn):
-                    last[i] = nn.iloc[-1]
-            yield pdf
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        for i, c in enumerate(ncols):
+            s = pdf[c].ffill()
+            if last[i] is not None:
+                s = s.fillna(last[i])
+            pdf[c] = s
+            nn = s.dropna()
+            if len(nn):
+                last[i] = nn.iloc[-1]
+        yield pdf
         state.update(tuple(last))
 
     return events.groupBy(on).applyInPandasWithState(
@@ -157,8 +166,17 @@ def stream_asof_enrich(
     allow_exact = not strict
 
     def merge(key, pdfs, state):
+        # concat the group's Arrow chunks FIRST: per-chunk processing would
+        # carry only the newest feature between chunks, silently nulling
+        # events whose true as-of feature sits in the same micro-batch but a
+        # different chunk (docstring promises within-batch merge_asof
+        # exactness)
+        chunks = list(pdfs)
+        if not chunks:
+            return
         last = list(state.get) if state.exists else None
-        for pdf in pdfs:
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        for pdf in (whole,):
             pdf = pdf.sort_values(["__ts", "__tag", "__tb"], kind="mergesort")
             ev = pdf[pdf["__tag"] == 0]
             ft = pdf[pdf["__tag"] == 1][["__ts", "__tb"] + payload]
@@ -246,4 +264,6 @@ def stream_exact_dedup(
     if fingerprint_text is not None:
         df = df.withColumn("__fp", content_fingerprint(F.col(fingerprint_text)))
         keys = list(keys) + ["__fp"]
-    return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    out = df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    # the internal fingerprint must not leak into downstream sink schemas
+    return out.drop("__fp") if fingerprint_text is not None else out

@@ -57,7 +57,9 @@ def build_job(spark: SparkSession, args) -> tuple[DataFrame, DataFrame]:
 
     seq = read_table(spark, args.sequences).select(
         "doc_id", "entity", "event_time", "n_tok", "source",
-        (F.col("n_tok") / F.size("tokens")).alias("tok_ratio"),
+        # nullif(-1): with ANSI off size(NULL) is -1 (legacy sizeOfNull), so
+        # a null tokens array would yield tok_ratio = -n_tok instead of null
+        (F.col("n_tok") / F.nullif(F.size("tokens"), F.lit(-1))).alias("tok_ratio"),
         F.xxhash64("tokens").alias("tok_fingerprint"),
     )
     if args.manifest:
@@ -120,14 +122,17 @@ def main() -> None:
     if args.metrics:
         from feathr_online_spark.plans.lineage import partition_lineage
         # lineage over THIS run's partitions only (partition-pruned read-back
-        # of the just-written buckets), stamped with the run id — never a
-        # rescan of the whole accumulated output
+        # of the just-written buckets), keyed by the manifest's work unit and
+        # written with the SAME dynamic-overwrite idempotence as the output:
+        # a rerun of an unmarked bucket REPLACES its metrics row instead of
+        # appending a duplicate (the old append in the write→mark_done crash
+        # window double-counted lineage rows)
         this_run = spark.read.parquet(args.output).where(F.col("bucket").isin(done))
-        lin = partition_lineage(this_run).withColumns({
+        lin = partition_lineage(this_run, by="bucket").withColumns({
             "run_wall_s": F.lit(round(time.time() - t0, 2)),
             "run_id": F.lit(run_id),
         })
-        lin.write.mode("append").parquet(args.metrics)
+        lin.write.mode("overwrite").partitionBy("bucket").parquet(args.metrics)
 
     if args.manifest:
         from feathr_online_spark.plans.checkpoint import mark_done

@@ -52,3 +52,43 @@ def test_with_salt_deterministic(spark):
     a = [r["__salt"] for r in with_salt(df, 16, from_cols=["id"]).orderBy("id").collect()]
     b = [r["__salt"] for r in with_salt(df, 16, from_cols=["id"]).orderBy("id").collect()]
     assert a == b and all(0 <= s < 16 for s in a)
+
+
+def test_salted_aggregate_distinct_needs_salt_from(spark):
+    """Round-3 review: a countDistinct partial is only sum-mergeable when
+    the salt is a function of the distinct-target column; the all-columns
+    default splits one user's rows across salts and overcounts."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.plans.salting import salted_aggregate
+
+    rows = [("hot", u % 7, e) for u in range(50) for e in range(4)]
+    df = spark.createDataFrame(rows, "source string, user long, extra long")
+    good = salted_aggregate(
+        df, ["source"], {"du": (F.countDistinct("user"), F.sum("du"))},
+        k=16, salt_from=["user"],
+    ).collect()[0]
+    assert good.du == 7
+
+
+def test_grouped_lineage_matches_definition(spark):
+    """partition_lineage(df, by=...) computes the same order-insensitive
+    XOR-of-xxhash64 checksum per group as a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.plans.lineage import partition_lineage
+
+    df = spark.createDataFrame(
+        [(b, i, f"p{i}") for b in range(3) for i in range(b * 5 + 1)],
+        "bucket long, i long, s string",
+    ).repartition(8)  # scramble physical placement
+    got = {r.bucket: (r.rows, r.checksum)
+           for r in partition_lineage(df, by="bucket").collect()}
+    want_rows = {b: b * 5 + 1 for b in range(3)}
+    direct = {
+        r.bucket: r.c
+        for r in df.select("bucket", F.xxhash64("i", "s").alias("h"))
+        .groupBy("bucket").agg(F.expr("bit_xor(h)").alias("c")).collect()
+    }
+    for b in range(3):
+        assert got[b] == (want_rows[b], direct[b])

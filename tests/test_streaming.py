@@ -184,3 +184,58 @@ def test_stream_exact_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select doc_id from dedup_t").collect()
     assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+
+
+def test_stateful_ops_correct_across_arrow_chunks(spark, tmp_path):
+    """Round-3 review: applyInPandasWithState hands each group to the
+    function as an ITERATOR of Arrow chunks; with maxRecordsPerBatch=2 a
+    6-row entity spans 3 chunks, and per-chunk processing would enrich from
+    the wrong feature / fill from a future value.  Both stateful operators
+    must concat the whole micro-batch first."""
+    from datetime import datetime
+
+    from feathr_online_spark.streaming.pit import stream_asof_enrich, stream_forward_fill
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        t = lambda m: datetime(2024, 1, 1, 0, m)
+        epath = str(tmp_path / "ev")
+        fpath = str(tmp_path / "ft")
+        # features at minutes 10 and 40; events at 20, 30, 50 — the t=20/30
+        # events must see the t=10 feature even if t=40 lands in an earlier
+        # chunk of the unioned group
+        spark.createDataFrame(
+            [(1, t(20), 100.0), (1, t(30), 101.0), (1, t(50), 102.0)],
+            "entity long, event_time timestamp, v double",
+        ).coalesce(1).write.parquet(epath)
+        spark.createDataFrame(
+            [(1, t(10), 7.0), (1, t(40), 9.0)],
+            "entity long, feature_time timestamp, f double",
+        ).coalesce(1).write.parquet(fpath)
+        ev = spark.readStream.schema("entity long, event_time timestamp, v double").parquet(epath)
+        ft = spark.readStream.schema("entity long, feature_time timestamp, f double").parquet(fpath)
+        out = stream_asof_enrich(ev, ft, strict=True)
+        q = (out.writeStream.format("memory").queryName("chunk_asof")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.event_time.minute: r.f for r in spark.sql("select * from chunk_asof").collect()}
+        assert got == {20: 7.0, 30: 7.0, 50: 9.0}
+
+        # forward-fill: nulls at t=15/35 fill from their true predecessors,
+        # never from a later chunk's newer value
+        dpath = str(tmp_path / "ff")
+        spark.createDataFrame(
+            [(1, t(10), 1.0), (1, t(15), None), (1, t(30), 3.0),
+             (1, t(35), None), (1, t(50), 5.0), (1, t(55), None)],
+            "entity long, event_time timestamp, x double",
+        ).coalesce(1).write.parquet(dpath)
+        st = spark.readStream.schema("entity long, event_time timestamp, x double").parquet(dpath)
+        q2 = (stream_forward_fill(st, ["x"]).writeStream.format("memory")
+              .queryName("chunk_ffill").outputMode("append")
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        got2 = {r.event_time.minute: r.x for r in spark.sql("select * from chunk_ffill").collect()}
+        assert got2 == {10: 1.0, 15: 1.0, 30: 3.0, 35: 3.0, 50: 5.0, 55: 5.0}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
