@@ -64,6 +64,19 @@ def asof_join(
     row with the greatest tiebreak wins; defaults to a hash of the payload so
     results are deterministic regardless of input order.
     """
+    payload = _payload_cols(features, on, right_ts)
+    if not payload:
+        raise ValueError("asof_join: features must have at least one payload "
+                         f"column besides ({on}, {right_ts})")
+    overlap = set(payload) & set(events.columns)
+    if overlap:
+        raise ValueError(f"asof_join: feature columns collide with event columns: {sorted(overlap)}")
+    # A feature row with a NULL timestamp has no defined position on the
+    # timeline and can never be attached without risking leakage — drop it in
+    # BOTH strategies (the union sort would otherwise treat it as -inf and
+    # merge_asof would refuse the whole group with a null-merge-key error,
+    # i.e. the two strategies had different input domains).
+    features = features.filter(F.col(right_ts).isNotNull())
     if strategy == "union":
         return _asof_union(events, features, on, left_ts, right_ts, strict, right_tiebreak)
     if strategy == "cogroup":
@@ -173,11 +186,16 @@ def _asof_cogroup(
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(columns=event_cols + payload)
-        left = left.sort_values(left_ts, kind="mergesort")
-        if right.empty:
+        # merge_asof raises on null merge keys; a null-ts EVENT row gets a
+        # null payload (it precedes every feature, like the union strategy's
+        # nulls-first sort) and is re-appended after the merge
+        null_ev = left[left[left_ts].isna()]
+        left = left[left[left_ts].notna()].sort_values(left_ts, kind="mergesort")
+        if right.empty or left.empty:
+            out = pd.concat([left, null_ev], ignore_index=True) if len(null_ev) else left
             for c in payload:
-                left[c] = None
-            return left[event_cols + payload]
+                out[c] = None
+            return out[event_cols + payload]
         right = right.sort_values([right_ts, "__tb"], kind="mergesort")
         merged = pd.merge_asof(
             left,
@@ -187,6 +205,12 @@ def _asof_cogroup(
             allow_exact_matches=allow_exact,
             direction="backward",
         )
+        if len(null_ev):
+            null_ev = null_ev.copy()
+            for c in payload:
+                null_ev[c] = None
+            merged = pd.concat([merged[event_cols + payload], null_ev[event_cols + payload]],
+                               ignore_index=True)
         return merged[event_cols + payload]
 
     # Pin the cogroup width: the Arrow/pandas merge is CPU-dense but
@@ -224,6 +248,14 @@ def leakage_check(
         F.col(right_ts).alias("__f_ts"),
         *[F.col(c).alias(f"__f_{c}") for c in match_cols],
     )
+    # an output row whose ENTIRE payload is null had no feature attached
+    # (left-outer miss); eqNullSafe would pair it with any all-null feature
+    # row and report a false violation
+    has_payload = None
+    for c in match_cols:
+        nn = joined[c].isNotNull()
+        has_payload = nn if has_payload is None else (has_payload | nn)
+    joined = joined.filter(has_payload) if has_payload is not None else joined
     cond = joined[on] == ft["__f_on"]
     for c in match_cols:
         cond = cond & joined[c].eqNullSafe(ft[f"__f_{c}"])

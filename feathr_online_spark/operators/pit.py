@@ -54,31 +54,44 @@ def pit_enrich(
     hot_threshold: int = 100_000,
     bucket_seconds: int = 86400,
 ) -> DataFrame:
-    """As-of join + windowed derivations with hot/cold split planning."""
+    """As-of join + windowed derivations with hot/cold split planning.
+
+    ``rolling_spec`` here is ROWS-mode: ``{"name", "col", "fn", "rows": N}``
+    (the fused skew composite, pit_fused_bucketed, takes the time-mode
+    ``range_seconds`` form instead — validated on both sides)."""
+    if rolling_spec is not None and "rows" not in rolling_spec:
+        raise ValueError("pit_enrich rolling_spec needs 'rows' (rows mode); "
+                         "pit_fused_bucketed's rolling_spec uses 'range_seconds'")
     hot = F.broadcast(hot_entities(events, on, hot_threshold))
 
     ev_cold = events.join(hot, on, "left_anti")
     ev_hot = events.join(hot, on, "left_semi")
+    # split the FEATURES the same way: a hot entity's feature rows would
+    # otherwise stay one giant window partition inside the cold/plain branch
+    # (re-introducing the straggler the split removes), and every feature row
+    # would be processed twice
+    ft_cold = features.join(hot, on, "left_anti")
+    ft_hot = features.join(hot, on, "left_semi")
 
-    def plain(ev: DataFrame) -> DataFrame:
-        out = asof_join(ev, features, on=on, left_ts=left_ts, right_ts=right_ts, strict=strict)
-        if rolling_spec:
+    def plain(ev: DataFrame, ft: DataFrame) -> DataFrame:
+        out = asof_join(ev, ft, on=on, left_ts=left_ts, right_ts=right_ts, strict=strict)
+        if rolling_spec is not None:
             out = rolling(out, {rolling_spec["name"]: (rolling_spec["col"], rolling_spec["fn"])},
                           on=on, ts=left_ts, rows=rolling_spec["rows"], include_current=False)
-        if session_gap:
+        if session_gap is not None:
             out = sessionize(out, session_gap, on=on, ts=left_ts)
         if ffill_cols:
             out = forward_fill(out, ffill_cols, on=on, ts=left_ts)
         return out
 
-    def bucketed(ev: DataFrame) -> DataFrame:
-        out = asof_join_bucketed(ev, features, on=on, left_ts=left_ts, right_ts=right_ts,
+    def bucketed(ev: DataFrame, ft: DataFrame) -> DataFrame:
+        out = asof_join_bucketed(ev, ft, on=on, left_ts=left_ts, right_ts=right_ts,
                                  strict=strict, bucket_seconds=bucket_seconds)
-        if rolling_spec:
+        if rolling_spec is not None:
             out = rolling_bucketed(out, {rolling_spec["name"]: (rolling_spec["col"], rolling_spec["fn"])},
                                    on=on, ts=left_ts, rows=rolling_spec["rows"],
                                    include_current=False, bucket_seconds=bucket_seconds)
-        if session_gap:
+        if session_gap is not None:
             out = sessionize_bucketed(out, session_gap, on=on, ts=left_ts,
                                       bucket_seconds=bucket_seconds)
         if ffill_cols:
@@ -86,6 +99,6 @@ def pit_enrich(
                                         bucket_seconds=bucket_seconds)
         return out
 
-    cold = plain(ev_cold)
-    hot_out = bucketed(ev_hot)
+    cold = plain(ev_cold, ft_cold)
+    hot_out = bucketed(ev_hot, ft_hot)
     return cold.select(*cold.columns).unionByName(hot_out.select(*cold.columns))

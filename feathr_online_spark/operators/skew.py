@@ -37,7 +37,27 @@ from pyspark.sql.window import Window
 
 
 def _bkt(ts_col: str, bucket_seconds: int) -> Column:
-    return F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    """Bucket id; a NULL timestamp maps to a sentinel earliest bucket so the
+    row keeps flowing through the (entity, bucket) repair joins — floor(null)
+    would make the bucket key null and inner joins would silently DROP the
+    row, where the plain window operators keep it (null ts sorts first in
+    their ascending frames, exactly like the sentinel bucket here)."""
+    return F.coalesce(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long"),
+        F.lit(-(2 ** 62)).cast("long"),
+    )
+
+
+def _ns_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner") -> DataFrame:
+    """Repair join on (entity, __bkt) that PRESERVES null entities: a
+    column-name join uses SQL equality, under which null != null, so every
+    null-entity row would vanish — the plain operators' window partitioning
+    keeps nulls as their own group.  EqualNullSafe is still a hash-joinable
+    equi-predicate, so the plan shape is unchanged."""
+    rest = [c for c in right.columns if c not in (on, "__bkt")]
+    r = right.select(F.col(on).alias("__r_on"), F.col("__bkt").alias("__r_bkt"), *rest)
+    cond = F.col(on).eqNullSafe(F.col("__r_on")) & (F.col("__bkt") == F.col("__r_bkt"))
+    return left.join(r, cond, how).drop("__r_on", "__r_bkt")
 
 
 # ---------------------------------------------------------------------------
@@ -65,6 +85,12 @@ def asof_join_bucketed(
 
     event_cols = [c for c in events.columns if c not in (on, left_ts)]
     payload = [c for c in features.columns if c not in (on, right_ts)]
+    if not payload:
+        raise ValueError("asof_join_bucketed: features must have at least one "
+                         f"payload column besides ({on}, {right_ts})")
+    overlap = set(payload) & set(events.columns)
+    if overlap:
+        raise ValueError(f"asof_join_bucketed: column collision {sorted(overlap)}")
     feat_tag, event_tag = (1, 0) if strict else (0, 1)
     tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
 
@@ -108,7 +134,7 @@ def asof_join_bucketed(
     domain = un.select(on, "__bkt").distinct()
     w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     carry = (
-        domain.join(fsum, [on, "__bkt"], "left")
+        _ns_join(domain, fsum, on, how="left")
         .select(
             F.col(on), "__bkt",
             F.last(F.col("__pl"), ignorenulls=True).over(w_b).alias("__carry_pl"),
@@ -116,8 +142,7 @@ def asof_join_bucketed(
     )
 
     out = (
-        within.filter(F.col("__tag") == event_tag)
-        .join(carry, [on, "__bkt"])
+        _ns_join(within.filter(F.col("__tag") == event_tag), carry, on)
         .withColumn("__pl", F.coalesce(F.col("__in_pl"), F.col("__carry_pl")))
         .select(
             F.col(on), F.col("__ts").alias(left_ts), *event_cols,
@@ -161,7 +186,7 @@ def forward_fill_bucketed(
         F.col(on), "__bkt",
         *[F.last(F.col(c), ignorenulls=True).over(w_b).alias(f"__carry_{c}") for c in cols],
     )
-    out = d2.join(carry, [on, "__bkt"]).withColumns(
+    out = _ns_join(d2, carry, on).withColumns(
         {c: F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")) for c in cols}
     )
     return out.drop("__bkt", "__tb", *[f"__in_{c}" for c in cols], *[f"__carry_{c}" for c in cols])
@@ -202,7 +227,7 @@ def sessionize_bucketed(
     raw_counts = d2.groupBy(on, "__bkt").agg(F.max("__s_raw").alias("__raw_news"))
     w_prev = Window.partitionBy(on).orderBy("__bkt")
     summ = (
-        bsum.join(raw_counts, [on, "__bkt"])
+        _ns_join(bsum, raw_counts, on)
         .withColumn("__prev_last", F.lag("__last_ts").over(w_prev))
         .withColumn(
             "__adjust",
@@ -226,7 +251,7 @@ def sessionize_bucketed(
         )
         .select(on, "__bkt", "__adjust", "__offset")
     )
-    out = d2.join(summ, [on, "__bkt"]).withColumn(
+    out = _ns_join(d2, summ, on).withColumn(
         session_col, F.col("__offset") + F.col("__s_raw") + F.col("__adjust") - 1
     )
     return out.drop("__bkt", "__s_raw", "__adjust", "__offset")
@@ -278,6 +303,9 @@ def pit_fused_bucketed(
 
     ffill_cols = ffill_cols or []
     payload = [c for c in features.columns if c not in (on, right_ts)]
+    if not payload:
+        raise ValueError("pit_fused_bucketed: features must have at least one "
+                         f"payload column besides ({on}, {right_ts})")
     event_cols = [c for c in events.columns if c not in (on, left_ts)]
     overlap = set(payload) & set(events.columns)
     if overlap:
@@ -305,22 +333,30 @@ def pit_fused_bucketed(
     un = ev.unionByName(ft).withColumn("__bkt", _bkt("__ts", bucket_seconds)).withColumn(
         "__ctx", F.lit(0)
     )
+    # ONE distinct over the big unioned stream serves both the rolling
+    # context chain and the carry domain (it was computed twice before —
+    # two full aggregations of the largest intermediate)
+    domain = un.select(on, "__bkt").distinct()
 
     # context rows for the rolling frame: real events near their bucket's end,
     # replicated into the entity's next PRESENT bucket
-    if rolling_spec:
+    if rolling_spec is not None:
+        if "range_seconds" not in rolling_spec:
+            raise ValueError("pit_fused_bucketed rolling_spec needs 'range_seconds' "
+                             "(time mode); pit_enrich's rolling_spec uses 'rows'")
         rng = int(rolling_spec["range_seconds"])
         if rng > bucket_seconds:
             raise ValueError("rolling range_seconds must be ≤ bucket_seconds")
-        chain = (
-            un.select(on, "__bkt").distinct()
-            .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
+        chain = domain.withColumn(
+            "__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt"))
         )
         bucket_end_us = ((F.col("__bkt") + 1) * bucket_seconds).cast("long") * 1_000_000
         ctx = (
-            un.filter((F.col("__tag") == event_tag)
-                      & (F.unix_micros(F.col("__ts")) >= bucket_end_us - rng * 1_000_000))
-            .join(chain, [on, "__bkt"])
+            _ns_join(
+                un.filter((F.col("__tag") == event_tag)
+                          & (F.unix_micros(F.col("__ts")) >= bucket_end_us - rng * 1_000_000)),
+                chain, on,
+            )
             .filter(F.col("__next_bkt").isNotNull())
             .withColumn("__bkt", F.col("__next_bkt"))
             .drop("__next_bkt")
@@ -346,7 +382,7 @@ def pit_fused_bucketed(
             for c in ffill_cols
         ],
     ]
-    if rolling_spec:
+    if rolling_spec is not None:
         fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
                "count": F.count, "stddev": F.stddev}
         inc = rolling_spec.get("include_current", False)
@@ -361,7 +397,7 @@ def pit_fused_bucketed(
             ).over(w_roll).alias(rolling_spec["name"])
         )
     is_event = (F.col("__tag") == event_tag) & (F.col("__ctx") == 0)
-    if session_gap:
+    if session_gap is not None:
         # FUSED sessionization: the within-bucket raw ordinal rides the same
         # (entity, bucket) sort as every other frame — no second big-data
         # shuffle.  "Previous event's timestamp" is a conditional last() over
@@ -390,16 +426,15 @@ def pit_fused_bucketed(
     fsum = fb.groupBy(on, "__bkt").agg(
         F.max_by(F.col("__pl"), F.struct("__ts", "__tb")).alias("__pl")
     )
-    domain = un.select(on, "__bkt").distinct()
     w_b = Window.partitionBy(on).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    joined = domain.join(fsum, [on, "__bkt"], "left")
+    joined = _ns_join(domain, fsum, on, how="left")
     if ffill_cols:
         eb = ev.withColumn("__bkt", _bkt("__ts", bucket_seconds))
         esum = eb.groupBy(on, "__bkt").agg(
             *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__ts"))).alias(f"__e_{c}")
               for c in ffill_cols]
         )
-        joined = joined.join(esum, [on, "__bkt"], "left")
+        joined = _ns_join(joined, esum, on, how="left")
     carry = (
         joined
         .select(
@@ -410,9 +445,9 @@ def pit_fused_bucketed(
         )
     )
 
-    kept = within.filter(is_event).join(carry, [on, "__bkt"])
+    kept = _ns_join(within.filter(is_event), carry, on)
 
-    if session_gap:
+    if session_gap is not None:
         # cross-bucket session repair on a TINY per-(entity, event-bucket)
         # summary (same scheme as sessionize_bucketed): re-check the bucket's
         # first-event gap against the previous event-bucket's last timestamp
@@ -457,7 +492,7 @@ def pit_fused_bucketed(
             )
             .select(on, "__bkt", "__adjust", "__offset")
         )
-        kept = kept.join(summ, [on, "__bkt"])
+        kept = _ns_join(kept, summ, on)
 
     out = (
         kept
@@ -467,10 +502,10 @@ def pit_fused_bucketed(
             *[c for c in event_cols if c not in ffill_cols],
             *[F.coalesce(F.col(f"__in_f_{c}"), F.col(f"__carry_f_{c}")).alias(c) for c in ffill_cols],
             *[F.col("__pl2").getField(c).alias(c) for c in payload],
-            *([rolling_spec["name"]] if rolling_spec else []),
+            *([rolling_spec["name"]] if rolling_spec is not None else []),
             *([
                 (F.col("__offset") + F.col("__s_raw") + F.col("__adjust") - 1).alias("session_id")
-            ] if session_gap else []),
+            ] if session_gap is not None else []),
         )
     )
     return out
@@ -526,7 +561,7 @@ def rolling_bucketed(
         bucket_end_us = ((F.col("__bkt") + 1) * bucket_seconds).cast("long") * 1_000_000
         tails = d.filter(F.unix_micros(F.col(ts)) >= bucket_end_us - range_seconds * 1_000_000)
     tails = (
-        tails.join(chain, [on, "__bkt"])
+        _ns_join(tails, chain, on)
         .filter(F.col("__next_bkt").isNotNull())
         .withColumn("__bkt", F.col("__next_bkt"))
         .drop("__next_bkt")

@@ -151,3 +151,55 @@ def test_rolling_bucketed_equals_plain(spark):
     pv = {r.eid: (r.s, r.c) for r in plain.collect()}
     bv = {r.eid: (r.s, r.c) for r in bucketed.collect()}
     assert pv == bv
+
+
+def test_bucketed_ops_keep_null_ts_and_null_entity_rows(spark):
+    """Round-3 review: a null timestamp made the bucket key null and a null
+    entity broke the repair joins' SQL equality — both silently DROPPED rows
+    the plain operators keep.  Sentinel bucket + null-safe joins must
+    preserve them with plain-path semantics (null ts → no feature visible;
+    null entity forms its own group)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.asof import asof_join
+    from feathr_online_spark.operators.skew import asof_join_bucketed, sessionize_bucketed
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    events = spark.createDataFrame(
+        [(1, t(10), 100), (1, None, 101), (None, t(20), 102), (2, t(30), 103)],
+        "entity long, event_time timestamp, eid long",
+    )
+    features = spark.createDataFrame(
+        [(1, t(5), 7.0), (None, t(15), 8.0), (2, t(25), 9.0)],
+        "entity long, feature_time timestamp, f double",
+    )
+    plain = asof_join(events, features).collect()
+    bucketed = asof_join_bucketed(events, features).collect()
+    key = lambda rows: sorted(((r.entity, r.eid, r.f) for r in rows),
+                              key=lambda x: (x[1],))
+    assert len(bucketed) == 4                      # nothing lost
+    assert key(bucketed) == key(plain)             # incl. null-entity match at t=20
+
+    sess = sessionize_bucketed(events.select("entity", "event_time", "eid"), 3600)
+    assert sess.count() == 4                       # null rows retained
+
+
+def test_asof_cogroup_null_ts_matches_union(spark):
+    """Null-ts feature rows are dropped in BOTH strategies; null-ts events
+    get a null payload in both (merge_asof used to crash the whole group)."""
+    from datetime import datetime
+
+    from feathr_online_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    events = spark.createDataFrame(
+        [(1, t(10), 1), (1, None, 2)], "entity long, event_time timestamp, eid long"
+    )
+    features = spark.createDataFrame(
+        [(1, t(5), 7.0), (1, None, 99.0)], "entity long, feature_time timestamp, f double"
+    )
+    for strategy in ("union", "cogroup"):
+        got = {r.eid: r.f for r in asof_join(events, features, strategy=strategy).collect()}
+        assert got == {1: 7.0, 2: None}, strategy
