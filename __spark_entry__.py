@@ -1056,9 +1056,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent quality bar — measured 0.93/1.0/0.93 at
     sf0.001/0.01/0.1, so the ≥ 0.85 gate has margin.  The oracle reproduces
     n_strong_pairs exactly and pins recall_ok = true."""
+    from feathr_online_spark.operators.text import words
+
     docs = _t(spark, sf_dir, "documents")
-    found = simhash_pairs(docs, "text", "doc_id", max_hamming=6).select("a", "b")
-    strong = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select("a", "b")
+    # both legs consume the SAME tokenization — persist the (id, words)
+    # projection once so the gate scans + tokenizes the corpus a single time
+    # (VERDICT r3 #2; the ann_ivf pattern).  A few MB at any gate scale.
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("__w")).persist()
+    found = simhash_pairs(toks, "text", "doc_id", max_hamming=6,
+                          words_col="__w").select("a", "b")
+    strong = ngram_jaccard_pairs(toks, "text", "doc_id", n=3, threshold=0.8,
+                                 words_col="__w").select("a", "b")
     hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
     # the count()==0 arm keeps recall vacuously TRUE on an empty strong set —
     # sum() over zero rows is NULL and NULL >= 0 is NULL, which would
@@ -1689,6 +1697,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus": q_prepare_corpus,
         "dsl_pipeline": q_dsl_pipeline,
         "embedding_lsh": q_embedding_lsh,
+    }
+
+
+def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Engine-only variants of the gates whose full query deliberately adds
+    VERIFICATION work (exact recall/tolerance legs — the price of converting
+    rows-only gates to hash-checked ones in r3).  bench.py times these too
+    and reports ``verify_sec = full - engine`` per gate, so future rounds can
+    tell engine drift from gate-design drift at a glance (VERDICT r3 #10).
+
+    These are NOT correctness-gated (the full gates are); they must produce
+    the same engine-side plan minus the verify legs."""
+
+    def e_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _t(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll"),
+            F.approx_count_distinct("user_id").alias("hllpp"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("p50a"),
+        )
+
+    def e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+
+    def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from feathr_online_spark.operators.similarity import knn_ivf
+
+        emb = _t(spark, sf_dir, "embeddings").persist()
+        return knn_ivf(_queries_of(emb), emb, k=10, n_cells=16, n_probe=4)
+
+    def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from feathr_online_spark.operators.similarity import knn_lsh
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return knn_lsh(_queries_of(emb), emb, k=10, n_planes=8, multiprobe=1)
+
+    def e_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from feathr_online_spark.operators.similarity import (
+            embedding_lsh_pairs,
+            write_embedding_fixture,
+        )
+
+        write_embedding_fixture(_EMBEDDING_FIXTURE)
+        emb = spark.read.parquet(_EMBEDDING_FIXTURE)
+        return embedding_lsh_pairs(emb, threshold=0.99, dim=64)
+
+    def e_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from feathr_online_spark.operators.multimodal import write_asset_fixture
+
+        write_asset_fixture(_MULTIMODAL_FIXTURE, n=96)
+        assets = spark.read.parquet(_MULTIMODAL_FIXTURE)
+        return extract_features(assets).groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+
+    return {
+        "sketches": e_sketches,
+        "dedup_simhash": e_dedup_simhash,
+        "ann_ivf": e_ann_ivf,
+        "ann_lsh": e_ann_lsh,
+        "embedding_lsh": e_embedding_lsh,
+        "multimodal": e_multimodal,
     }
 
 

@@ -21,8 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ", "1000000"))
 # this box's warm-run variance is ±2-3× (BENCH/BASELINE.md); min-of-N per
-# query is the documented protocol for every number we publish
-N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# query is the documented protocol for every number we publish.  Default
+# bumped 2 → 3 after r3's dedup_minhash "doubling" turned out to be exactly
+# this: min-of-2 catching two slow reps (min-of-5 re-measure: 6.0 s, same
+# code the driver clocked at 12.5 s — see BENCH/BASELINE.md).
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def north_rule_job(spark, seq_path: str, feat_path: str):
@@ -123,16 +126,28 @@ def main() -> None:
         # Catalyst prune the derived ones away) without writing anything
         df.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    def time_query(fn) -> float:
         best = None
         for _ in range(max(N_REPS, 1)):
             t0 = time.time()
-            df = fn(spark, SF_DIR)
-            run_full(df)
+            run_full(fn(spark, SF_DIR))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        timings[name] = time_query(fn)
+
+    # engine/verify split (VERDICT r3 #10): several gates deliberately carry
+    # exact-verification legs (recall/tolerance checks) on top of the engine
+    # operator; time the engine-only variant so drift in `queries` totals can
+    # be attributed to the engine vs the gate design at a glance.
+    engine_sec: dict[str, float] = {}
+    verify_sec: dict[str, float] = {}
+    for name, fn in getattr(entrymod, "engine_queries", dict)().items():
+        engine_sec[name] = time_query(fn)
+        verify_sec[name] = round(max(0.0, timings[name] - engine_sec[name]), 3)
 
     # north-rule throughput: as-of + derivation over N_SEQ synthesized rows
     fix = datagen.write_fixture(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -149,6 +164,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "engine_sec": engine_sec,
+        "verify_sec": verify_sec,
         "sf": SF_DIR,
         "asof_rows": n_out,
         "asof_seq_per_sec": seq_per_sec,

@@ -684,6 +684,10 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
     if verb == "summarize":
         aggs_ast, keys_ast = payload
         aggs = {}
+        # per-aggregate output dynamism, carried into the stage's output
+        # types (a dynamic min/max returns the carrier, and downstream
+        # stages — top, where, arithmetic — must keep runtime dispatch)
+        agg_types: dict = {}
         for name, fn_name, arg_asts in aggs_ast:
             compiled = [ec.compile(a) for a in arg_asts]
             args = [c for c, _ in compiled]
@@ -704,7 +708,7 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
                     key = F.struct(num.isNull().cast("int"), num, txt)
                     expr = F.min_by(txt, key) if fl in ("min", "least") else F.max_by(txt, key)
                     aggs[name] = expr
-                    col_types[name] = "dynamic"
+                    agg_types[name] = "dynamic"
                     continue
                 else:
                     args = [txt, *args[1:]]
@@ -718,15 +722,15 @@ def _apply_stage(p: Pipeline, col_types: dict, verb: str, payload, sources) -> t
                     "div", F.sum(args[0]).cast("long"), F.count(F.lit(1))
                 )
             aggs[name] = expr
-            col_types[name] = None
+            agg_types[name] = None
         if keys_ast:
             by = {}
             for kname, kast in keys_ast:
                 by[kname] = ec.compile(kast)[0] if kast is not None else F.col(kname)
-            out_types = {n: None for n in aggs}
+            out_types = dict(agg_types)
             out_types.update({k: col_types.get(k) for k in by})
             return p.summarize(aggs, by=by), out_types
-        return p.summarize(aggs), {n: None for n in aggs}
+        return p.summarize(aggs), dict(agg_types)
     if verb in ("lookup", "join"):
         from feathr_online_spark.sources.registry import CallableSource
 

@@ -52,6 +52,7 @@ def asof_join(
     strict: bool = True,
     strategy: str = "union",
     right_tiebreak: str | None = None,
+    match_indicator: str | None = None,
 ) -> DataFrame:
     """Attach to each event row the latest feature row of the same entity with
     ``right_ts < left_ts`` (strict) or ``<=`` (non-strict).
@@ -63,6 +64,11 @@ def asof_join(
     ``right_tiebreak``: when several feature rows share (entity, right_ts), the
     row with the greatest tiebreak wins; defaults to a hash of the payload so
     results are deterministic regardless of input order.
+
+    ``match_indicator``: name of an extra boolean output column that is true
+    iff a feature row attached.  This distinguishes a left-outer MISS from an
+    attached feature row whose payload happens to be all null — pass it to
+    ``leakage_check(matched_col=...)`` to close that blind spot.
     """
     payload = _payload_cols(features, on, right_ts)
     if not payload:
@@ -77,10 +83,17 @@ def asof_join(
     # merge_asof would refuse the whole group with a null-merge-key error,
     # i.e. the two strategies had different input domains).
     features = features.filter(F.col(right_ts).isNotNull())
+    if match_indicator is not None and (
+        match_indicator in events.columns or match_indicator in payload
+    ):
+        raise ValueError(f"asof_join: match_indicator {match_indicator!r} "
+                         f"collides with an existing column")
     if strategy == "union":
-        return _asof_union(events, features, on, left_ts, right_ts, strict, right_tiebreak)
+        return _asof_union(events, features, on, left_ts, right_ts, strict,
+                           right_tiebreak, match_indicator)
     if strategy == "cogroup":
-        return _asof_cogroup(events, features, on, left_ts, right_ts, strict, right_tiebreak)
+        return _asof_cogroup(events, features, on, left_ts, right_ts, strict,
+                             right_tiebreak, match_indicator)
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
@@ -96,6 +109,7 @@ def _asof_union(
     right_ts: str,
     strict: bool,
     right_tiebreak: str | None,
+    match_indicator: str | None = None,
 ) -> DataFrame:
     from pyspark.sql.types import StructType
 
@@ -148,10 +162,16 @@ def _asof_union(
         *[F.col(c) for c in event_cols],
         F.last(F.col("__pl"), ignorenulls=True).over(w).alias("__pl"),
     )
+    # the filled struct itself is non-null exactly when a feature row attached
+    # — even if every field inside it is null — so it doubles as the explicit
+    # matched/miss indicator
+    extra = ([F.col("__pl").isNotNull().alias(match_indicator)]
+             if match_indicator else [])
     return (
         filled.filter(F.col("__tag") == event_tag)
         .select(F.col(on), F.col("__ts").alias(left_ts), *event_cols,
-                *[F.col("__pl").getField(c).alias(c) for c in payload])
+                *[F.col("__pl").getField(c).alias(c) for c in payload],
+                *extra)
     )
 
 
@@ -163,6 +183,7 @@ def _asof_cogroup(
     right_ts: str,
     strict: bool,
     right_tiebreak: str | None,
+    match_indicator: str | None = None,
 ) -> DataFrame:
     import pandas as pd  # local import: executors need it, driver may not
 
@@ -171,9 +192,14 @@ def _asof_cogroup(
     payload = _payload_cols(features, on, right_ts)
     # StructType.add mutates in place — build a fresh schema instead of
     # appending to the DataFrame's cached one.
-    out_schema = StructType(list(events.schema.fields) + [features.schema[c] for c in payload])
+    fields = list(events.schema.fields) + [features.schema[c] for c in payload]
+    if match_indicator:
+        from pyspark.sql.types import BooleanType, StructField
+        fields = fields + [StructField(match_indicator, BooleanType(), True)]
+    out_schema = StructType(fields)
 
     event_cols = list(events.columns)
+    out_cols = event_cols + payload + ([match_indicator] if match_indicator else [])
     allow_exact = not strict
 
     # Same deterministic winner among equal-(entity, ts) feature rows as the
@@ -185,7 +211,7 @@ def _asof_cogroup(
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return pd.DataFrame(columns=event_cols + payload)
+            return pd.DataFrame(columns=out_cols)
         # merge_asof raises on null merge keys; a null-ts EVENT row gets a
         # null payload (it precedes every feature, like the union strategy's
         # nulls-first sort) and is re-appended after the merge
@@ -195,23 +221,33 @@ def _asof_cogroup(
             out = pd.concat([left, null_ev], ignore_index=True) if len(null_ev) else left
             for c in payload:
                 out[c] = None
-            return out[event_cols + payload]
+            if match_indicator:
+                out[match_indicator] = False
+            return out[out_cols]
         right = right.sort_values([right_ts, "__tb"], kind="mergesort")
+        # a sentinel marker column (always-true on the right) survives the
+        # merge as NaN exactly on misses — a name-collision-proof matched
+        # indicator even when every payload field is null
+        right = right.assign(__asof_m__=True)
         merged = pd.merge_asof(
             left,
-            right[[right_ts] + payload],
+            right[[right_ts] + payload + ["__asof_m__"]],
             left_on=left_ts,
             right_on=right_ts,
             allow_exact_matches=allow_exact,
             direction="backward",
         )
+        if match_indicator:
+            merged[match_indicator] = merged["__asof_m__"].notna()
         if len(null_ev):
             null_ev = null_ev.copy()
             for c in payload:
                 null_ev[c] = None
-            merged = pd.concat([merged[event_cols + payload], null_ev[event_cols + payload]],
+            if match_indicator:
+                null_ev[match_indicator] = False
+            merged = pd.concat([merged[out_cols], null_ev[out_cols]],
                                ignore_index=True)
-        return merged[event_cols + payload]
+        return merged[out_cols]
 
     # Pin the cogroup width: the Arrow/pandas merge is CPU-dense but
     # byte-light, and AQE's size-based coalescing would otherwise funnel
@@ -233,14 +269,23 @@ def leakage_check(
     left_ts: str = "event_time",
     right_ts: str = "feature_time",
     match_cols: Iterable[str] | None = None,
+    matched_col: str | None = None,
 ) -> int:
     """Count temporal-leakage violations: output rows whose attached feature
     payload could only have come from a feature row with right_ts >= left_ts.
     Returns the violation count (0 = clean).  Used by the property tests
-    (SURVEY.md §5.2 item 4)."""
+    (SURVEY.md §5.2 item 4).
+
+    ``matched_col``: name of an explicit matched/miss indicator column emitted
+    by ``asof_join(match_indicator=...)``.  Without it, misses are INFERRED
+    from all-null payloads, which has a blind spot: a genuinely leaked feature
+    row whose payload columns are ALL null is indistinguishable from a miss
+    and goes unchecked.  Pass the indicator to close it."""
     if match_cols is None:
         match_cols = _payload_cols(features, on, right_ts)
     match_cols = list(match_cols)
+    if matched_col is not None and matched_col in match_cols:
+        match_cols.remove(matched_col)
     # Prefix the feature side to dodge self-join ambiguity (joined was derived
     # from features).
     ft = features.select(
@@ -248,14 +293,18 @@ def leakage_check(
         F.col(right_ts).alias("__f_ts"),
         *[F.col(c).alias(f"__f_{c}") for c in match_cols],
     )
-    # an output row whose ENTIRE payload is null had no feature attached
-    # (left-outer miss); eqNullSafe would pair it with any all-null feature
-    # row and report a false violation
-    has_payload = None
-    for c in match_cols:
-        nn = joined[c].isNotNull()
-        has_payload = nn if has_payload is None else (has_payload | nn)
-    joined = joined.filter(has_payload) if has_payload is not None else joined
+    if matched_col is not None:
+        # explicit indicator: exact miss filtering, no blind spot
+        joined = joined.filter(F.col(matched_col))
+    else:
+        # an output row whose ENTIRE payload is null had no feature attached
+        # (left-outer miss); eqNullSafe would pair it with any all-null feature
+        # row and report a false violation.  Blind spot documented above.
+        has_payload = None
+        for c in match_cols:
+            nn = joined[c].isNotNull()
+            has_payload = nn if has_payload is None else (has_payload | nn)
+        joined = joined.filter(has_payload) if has_payload is not None else joined
     cond = joined[on] == ft["__f_on"]
     for c in match_cols:
         cond = cond & joined[c].eqNullSafe(ft[f"__f_{c}"])

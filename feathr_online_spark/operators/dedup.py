@@ -62,13 +62,19 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
     return df.withColumn(out_col, shingles(words(F.lower(F.col(text_col))), n))
 
 
-def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles",
+                        words_col: str | None = None) -> DataFrame:
     """Distinct n-gram shingles hashed to xxhash64 longs — one string hash per
     shingle, after which every downstream comparison/join/minhash works on
     8-byte longs instead of ~25-byte strings (~2-3× cheaper end-to-end;
     64-bit collisions are ~n²/2⁶⁵ — irrelevant at any corpus size that fits a
-    cluster).  Set equality/Jaccard over hashes equals that over strings."""
-    sh = shingles(words(F.lower(F.col(text_col))), n)
+    cluster).  Set equality/Jaccard over hashes equals that over strings.
+
+    ``words_col``: name of a pre-tokenized ``array<string>`` column to shingle
+    instead of re-tokenizing ``text_col`` — lets several dedup legs share one
+    (persisted) tokenization pass."""
+    base = F.col(words_col) if words_col else words(F.lower(F.col(text_col)))
+    sh = shingles(base, n)
     return df.withColumn(out_col, F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
 
 
@@ -105,6 +111,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 100_000,
+    words_col: str | None = None,
 ) -> DataFrame:
     """All (a, b, jaccard) pairs with word-n-gram Jaccard ≥ threshold, a < b.
 
@@ -123,7 +130,7 @@ def ngram_jaccard_pairs(
     rare shingles — at web scale this is the standard trade; default cap is
     effectively off for test-sized corpora).
     """
-    sh = with_shingle_hashes(_widen(df), text_col, n).select(
+    sh = with_shingle_hashes(_widen(df), text_col, n, words_col=words_col).select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sz")
     )
     inv = sh.select("id", F.explode("shingles").alias("s")).repartition("s")
@@ -251,7 +258,7 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sh = with_shingle_hashes(_widen(df), text_col, n).select(F.col(id_col).alias("id"), "shingles").filter(
+    sh = with_shingle_hashes(_widen(df), text_col, n, words_col=words_col).select(F.col(id_col).alias("id"), "shingles").filter(
         F.size("shingles") > 0
     )
     sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), k).alias("sig"))
@@ -429,11 +436,14 @@ def decontaminate(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash64(df: DataFrame, text_col: str, id_col: str,
+              words_col: str | None = None) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over word hashes: per bit, majority vote
     of word-hash bits.  Explode words → 64 conditional sums in ONE groupBy
-    (single shuffle of (id, word-hash))."""
-    w = _widen(df).select(F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    (single shuffle of (id, word-hash)).  ``words_col``: pre-tokenized
+    array<string> column to use instead of tokenizing ``text_col``."""
+    base = F.col(words_col) if words_col else words(F.lower(F.col(text_col)))
+    w = _widen(df).select(F.col(id_col).alias("id"), F.explode(base).alias("w"))
     h = w.select("id", F.xxhash64("w").alias("h"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
@@ -452,13 +462,14 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    words_col: str | None = None,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any pair
     within distance d agrees exactly on ≥1 chunk → equi-join per chunk, then
     verify with bit_count(a XOR b)."""
-    sh = simhash64(df, text_col, id_col)
+    sh = simhash64(df, text_col, id_col, words_col=words_col)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunk_structs = [

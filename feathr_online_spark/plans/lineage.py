@@ -42,9 +42,12 @@ def partition_lineage(df: DataFrame, by: str | None = None) -> DataFrame:
     the hot path stays vectorized.
     """
     if by is not None:
-        data_cols = [c for c in df.columns if c != by]
+        # hash ALL columns (including ``by``), exactly like the per-partition
+        # form, so the two forms' checksums are comparable: XOR-folding the
+        # grouped checksums equals XOR-folding the task-partition checksums
+        # of the same data
         return (
-            df.select(F.col(by), F.xxhash64(*[F.col(c) for c in data_cols]).alias("__h"))
+            df.select(F.col(by), F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h"))
             .groupBy(by)
             .agg(
                 F.count(F.lit(1)).alias("rows"),

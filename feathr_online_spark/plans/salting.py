@@ -25,15 +25,20 @@ def with_salt(
     per_row: bool = False,
 ) -> DataFrame:
     """Add a salt in [0, k): deterministic hash over ``from_cols`` (default:
-    all columns) — stable across retries, unlike rand().
+    all columns) — with ``per_row=False`` the salt is stable across retries,
+    unlike rand().
 
     ``per_row=True`` mixes ``monotonically_increasing_id()`` into the hash:
     byte-identical rows (re-crawled duplicate documents under one hot key —
     the very skew the dedup operators exist for) would otherwise all hash to
-    ONE salt and the spread degenerates to the unsalted straggler.  Per-row
-    salts are fine for JOIN spreading (each replica of the small side serves
-    any salt) but must NOT be used where the salt partitions a
-    distinct-count (see salted_aggregate)."""
+    ONE salt and the spread degenerates to the unsalted straggler.  The
+    trade-off: ``monotonically_increasing_id()`` is NOT deterministic under
+    stage retries / AQE recomputation, so ``per_row=True`` FORFEITS the
+    retry-stability promise above.  It is only safe where any salt value is
+    correct for every row — i.e. JOIN spreading against a fully replicated
+    small side (``salted_join``, whose replicas serve every salt).  Do not
+    use it in retry-sensitive contexts (e.g. a salt persisted across stages,
+    or partitioning a distinct-count — see salted_aggregate)."""
     cols = [F.col(c) for c in (from_cols or df.columns)]
     if per_row:
         cols = [*cols, F.monotonically_increasing_id()]

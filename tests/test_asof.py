@@ -184,3 +184,45 @@ def test_whole_row_carry_across_buckets(spark):
     assert row.f1 is None and row.f2 == 200.0
     row = pit_fused_bucketed(events, features, bucket_seconds=86400).collect()[0]
     assert row.f1 is None and row.f2 == 200.0
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_match_indicator_distinguishes_miss_from_allnull_payload(spark, strategy):
+    """asof_join(match_indicator=...) is true iff a feature row attached —
+    including one whose payload is entirely null (ADVICE r3: payload nullness
+    alone cannot tell that apart from a left-outer miss)."""
+    events = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "hit_allnull"),
+            (2, ts("2024-01-01 10:00:00"), "miss"),
+        ],
+        "entity long, event_time timestamp, eid string",
+    )
+    features = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), None)],
+        "entity long, feature_time timestamp, f double",
+    )
+    out = asof_join(events, features, strategy=strategy, match_indicator="matched")
+    got = {r.eid: (r.matched, r.f) for r in out.collect()}
+    assert got == {"hit_allnull": (True, None), "miss": (False, None)}
+    # indicator collision with an existing column raises
+    with pytest.raises(ValueError):
+        asof_join(events, features, strategy=strategy, match_indicator="eid")
+
+
+def test_leakage_check_matched_col_closes_allnull_blind_spot(spark):
+    """A leaked feature row with an all-null payload is invisible to the
+    inferred (payload-nullness) miss filter but caught via matched_col."""
+    features = spark.createDataFrame(
+        [(1, ts("2024-01-01 11:00:00"), None)],  # stamped AFTER the event
+        "entity long, feature_time timestamp, f double",
+    )
+    # fabricate a corrupted join output that attached the future feature row
+    leaked = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "e1", None, True)],
+        "entity long, event_time timestamp, eid string, f double, matched boolean",
+    )
+    # inferred filter: all-null payload looks like a miss → unchecked
+    assert leakage_check(leaked.drop("matched"), features) == 0
+    # explicit indicator: the violation is counted
+    assert leakage_check(leaked, features, matched_col="matched") == 1

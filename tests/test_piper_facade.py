@@ -140,3 +140,21 @@ def test_dynamic_outputs_decode_to_python_values(spark):
     rows, _ = p2.process("t", {"obj": {"name": "bob", "n": 2}})
     assert rows[0]["whole"] == {"name": "bob", "n": 2}   # object decodes to dict
     assert rows[0]["name"] == "bob"
+
+def test_dynamic_aggregate_propagates_through_top_and_process(spark):
+    """A dynamic min/max aggregate stays runtime-typed downstream (ADVICE r3):
+    `top by mx` must order 10 above 9 (numeric, not carrier-text '9' > '10'),
+    and process() must decode the aggregate back to a python number."""
+    src = ("t(g as string, x)\n"
+           "| summarize mx = max(x) by g\n"
+           "| top 2 by mx\n"
+           ";")
+    p = Piper(src, spark=spark)
+    rows, errors = p.process(
+        "t",
+        [{"g": "a", "x": 9}, {"g": "b", "x": 10}, {"g": "c", "x": 2}],
+    )
+    assert not any(errors)
+    # lexical carrier ordering would rank '9' > '10' and keep ('a', '9');
+    # runtime-typed ordering keeps 10 and 9 — as numbers, not text
+    assert [(r["g"], r["mx"]) for r in rows] == [("b", 10), ("a", 9)]

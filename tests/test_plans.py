@@ -87,8 +87,15 @@ def test_grouped_lineage_matches_definition(spark):
     want_rows = {b: b * 5 + 1 for b in range(3)}
     direct = {
         r.bucket: r.c
-        for r in df.select("bucket", F.xxhash64("i", "s").alias("h"))
+        for r in df.select("bucket", F.xxhash64("bucket", "i", "s").alias("h"))
         .groupBy("bucket").agg(F.expr("bit_xor(h)").alias("c")).collect()
     }
     for b in range(3):
         assert got[b] == (want_rows[b], direct[b])
+    # the two forms share ONE checksum definition (ADVICE r3): XOR-folding
+    # the grouped checksums equals XOR-folding the task-partition checksums
+    from functools import reduce
+    whole_grouped = reduce(lambda a, b: a ^ b, (c for _, c in got.values()), 0)
+    whole_tasks = reduce(lambda a, b: a ^ b,
+                         (r.checksum for r in partition_lineage(df).collect()), 0)
+    assert whole_grouped == whole_tasks
