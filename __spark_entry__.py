@@ -1638,6 +1638,48 @@ LIMIT 20
 """
 
 
+_STREAM_EQV_ROOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "stream_eqv"
+)
+
+
+def q_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming surface gated by BATCH EQUIVALENCE (VERDICT r3 #4): the
+    events table is replayed in event-time order across 4 micro-batches
+    (maxFilesPerTrigger=1 + a late duplicate file) through
+    stream_asof_enrich / stream_sessionize / stream_exact_dedup, and each
+    stream's full output is compared row-exactly (symmetric exceptAll)
+    against the already-oracle-gated batch operators on the same fixture.
+    Output: (surface, n_out, equal_ok); the oracle reproduces every n_out
+    independently from the events view and pins equal_ok = true, so one
+    dropped/duplicated/mutated streamed row fails the hash."""
+    from feathr_online_spark.streaming.equiv import stream_equivalence_summary
+
+    fixture = os.path.join(
+        _STREAM_EQV_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    return stream_equivalence_summary(spark, sf_dir, fixture)
+
+
+# gap/is_new logic mirrors ORACLE_SESSIONIZE; 'asof' counts the non-purchase
+# (event-side) rows, 'dedup' the distinct event_ids (= all rows; the replay's
+# duplicate file must vanish into cross-batch dedup state)
+ORACLE_STREAM_EQUIV = """
+SELECT 'asof' AS surface,
+       (SELECT count(*) FROM events WHERE event_type <> 'purchase') AS n_out,
+       true AS equal_ok
+UNION ALL
+SELECT 'dedup', (SELECT count(*) FROM events), true
+UNION ALL
+SELECT 'sessionize',
+       (SELECT count(*) FROM (
+          SELECT CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events) WHERE is_new = 1) AS n_out,
+       true
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1697,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus": q_prepare_corpus,
         "dsl_pipeline": q_dsl_pipeline,
         "embedding_lsh": q_embedding_lsh,
+        "stream_equiv": q_stream_equiv,
     }
 
 
@@ -1754,6 +1797,51 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_bytes").alias("total_bytes"),
         )
 
+    def e_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the replay itself (3 concurrent streaming queries, 4 micro-batches)
+        # without the symmetric batch-comparison legs
+        from feathr_online_spark.streaming import equiv as eq
+
+        fixture = os.path.join(
+            _STREAM_EQV_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+        eq.write_replay_fixture(sf_dir, fixture)
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
+        schema = ("entity long, event_time timestamp, event_id long, "
+                  "value double, is_feat boolean, dup boolean")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(fixture))
+        from feathr_online_spark.streaming.pit import (
+            stream_asof_enrich, stream_exact_dedup, stream_sessionize)
+
+        s_ev = (stream.filter(~F.col("is_feat") & ~F.col("dup"))
+                .select("entity", "event_time", "event_id"))
+        s_ft = (stream.filter(F.col("is_feat") & ~F.col("dup"))
+                .select("entity", F.col("event_time").alias("feature_time"),
+                        F.round("value", 4).alias("f")))
+        qs = [
+            eq._run_to_memory(stream_asof_enrich(s_ev, s_ft, strict=True),
+                              "append", ckpt),
+            eq._run_to_memory(
+                stream_sessionize(stream.filter(~F.col("dup")),
+                                  {"n": F.count(F.lit(1))},
+                                  gap=f"{eq.GAP_SECONDS} seconds"),
+                "complete", ckpt),
+            eq._run_to_memory(
+                stream_exact_dedup(stream, keys=["event_id"],
+                                   watermark="3650 days"),
+                "append", ckpt),
+        ]
+        for q, _ in qs:
+            q.awaitTermination(300)
+        out = None
+        for _, name in qs:
+            row = spark.table(name).agg(F.count(F.lit(1)).alias("n_out")) \
+                .select(F.lit(name).alias("surface"), "n_out")
+            out = row if out is None else out.unionByName(row)
+        return out
+
     return {
         "sketches": e_sketches,
         "dedup_simhash": e_dedup_simhash,
@@ -1761,6 +1849,7 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": e_ann_lsh,
         "embedding_lsh": e_embedding_lsh,
         "multimodal": e_multimodal,
+        "stream_equiv": e_stream_equiv,
     }
 
 
@@ -1822,4 +1911,5 @@ def oracle_sql() -> dict[str, str]:
         "prepare_corpus": ORACLE_PREPARE_CORPUS,
         "dsl_pipeline": ORACLE_DSL_PIPELINE,
         "embedding_lsh": ORACLE_EMBEDDING_LSH,
+        "stream_equiv": ORACLE_STREAM_EQUIV,
     }

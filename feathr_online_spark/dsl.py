@@ -516,14 +516,23 @@ class ExprCompiler:
                 # unix_timestamp/to_unix_timestamp = TimestampFunction →
                 # DOUBLE epoch seconds (timestamp.rs get_output_type)
                 return F.unix_timestamp(base).cast("double"), "double"
-            # Literal args are passed as python natives: several Spark
-            # functions demand plain str/int for patterns, paths and counts
-            # (get_json_object, regexp_extract, translate, substring, ...);
-            # python scalars are accepted everywhere a Column is.
+            # Literal args: numeric/bool natives are safe everywhere (they
+            # can't name a column), but a native python STRING is a
+            # ColumnOrName to most Spark functions — upper("abc") would read
+            # a column called abc!  So string literals compile to F.lit
+            # EXCEPT at the (function, position) pairs that genuinely demand
+            # a plain str: JsonPaths, regex patterns, literal delimiters and
+            # translate alphabets (Spark takes str-typed parameters there,
+            # or the wrapper needs the value at plan-build time).
+            native_str = {
+                "get_json_object": {1}, "get_json_array": {1},
+                "regexp_extract": {1}, "regexp_replace": {1, 2},
+                "split": {1}, "split_part": {1}, "translate": {1, 2},
+            }.get(name.lower(), set())
             args = []
-            for x in ast[2]:
+            for pos, x in enumerate(ast[2]):
                 if x[0] == "str":
-                    args.append(x[1])
+                    args.append(x[1] if pos in native_str else F.lit(x[1]))
                 elif x[0] == "num":
                     txt = x[1]
                     args.append(float(txt) if "." in txt else int(txt, 0))

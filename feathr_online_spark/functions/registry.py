@@ -293,12 +293,28 @@ def _to_json_piper(x):
 
 
 def _piper_len(x):
-    """Reference len/length works on strings AND arrays (len.rs).  A Column
-    builder can't see the input type, so this registry entry is string
-    length; callers with arrays should use 'size'/'array_size'.  The DSL
-    path (dsl.py ExprCompiler) DOES track static types and dispatches
-    len/length to array_size for array-typed and dynamic-array operands."""
-    return F.length(x)
+    """Reference len/length dispatches on the runtime Value type — string
+    chars or array count (len.rs:14-31; maps/other types are errors there
+    too).  A bare Column builder cannot see the operand type, so this entry
+    builds STRING length — and on an array-typed operand Spark's analyzer
+    REJECTS it loudly (DATATYPE_MISMATCH), never a silent cast.  Two
+    schema-aware paths supply the array dispatch:
+
+    - the DSL ExprCompiler tracks static types (array → ``array_size``,
+      dynamic → runtime carrier dispatch, dsl.py);
+    - ``Pipeline.project`` resolves the operand tag attached below against
+      ``df.schema`` at apply time, swapping in ``array_size`` for
+      array-typed operands — so ``p.project(n=fn("len")(col))`` works for
+      string AND array columns.
+    """
+    from pyspark.sql.functions import col as _colf
+
+    operand = _colf(x) if isinstance(x, str) else x
+    c = F.length(operand)
+    # leading-dunder name: pyspark Column.__getattr__ treats other names as
+    # struct-field access, which would make every column look tagged
+    setattr(c, "__piper_len_operand", operand)
+    return c
 
 
 _REGISTRY: dict[str, object] = {

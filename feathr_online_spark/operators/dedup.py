@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     k: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, verified with exact Jaccard.
 

@@ -101,12 +101,28 @@ class Pipeline:
     def project(self, **cols: Column) -> "Pipeline":
         """Append computed columns.  The reference rejects collisions with
         existing columns at build time (piper/src/piper.rs:266-282) — enforce
-        the same contract instead of silently replacing."""
+        the same contract instead of silently replacing.
+
+        Apply-time type dispatch: a column built by ``fn("len")`` /
+        ``fn("length")`` carries its operand as a tag; with the schema in
+        hand here, an array-typed operand swaps to ``array_size`` — the
+        reference's runtime string/array dispatch (len.rs:14-31) for typed
+        pipelines.  (Anywhere without a schema, an array operand is a loud
+        analyzer error, never a silent cast.)"""
         existing = {c.lower() for c in self.df.columns}
-        for name in cols:
+        resolved: dict[str, Column] = {}
+        for name, c in cols.items():
             if name.lower() in existing:
                 raise PipelineError(f"project: column '{name}' already exists")
-        return Pipeline(self.df.withColumns(dict(cols)))
+            op = getattr(c, "__piper_len_operand", None)
+            if op is not None:
+                from pyspark.sql.types import ArrayType
+
+                # driver-side analysis only (no job) to learn the operand type
+                if isinstance(self.df.select(op.alias("__t")).schema[0].dataType, ArrayType):
+                    c = F.array_size(op)
+            resolved[name] = c
+        return Pipeline(self.df.withColumns(resolved))
 
     def project_rename(self, **new_to_old: str) -> "Pipeline":
         """Rename columns, ``new=old`` like the DSL

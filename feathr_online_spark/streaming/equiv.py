@@ -1,0 +1,203 @@
+"""Batch-equivalence harness for the streaming operators (VERDICT r3 #4).
+
+The streaming surface (streaming/pit.py) re-expresses batch operators as
+Structured Streaming; its correctness claim is *batch equivalence*: replaying
+the same rows through the stream — in event-time order, across several
+micro-batches, so cross-batch GroupState is genuinely exercised — must yield
+exactly the batch operators' output.  This module turns that claim into a
+gate query: `stream_equivalence_summary` replays a deterministic fixture
+derived from the `events` table through
+
+- ``stream_asof_enrich``   vs batch ``asof_join``        (strict PIT),
+- ``stream_sessionize``    vs batch ``sessionize``       (gap sessions),
+- ``stream_exact_dedup``   vs batch ``dropDuplicates``   (ingest dedup),
+
+and returns one row per surface: ``(surface, n_out, equal_ok)`` where
+``equal_ok`` is a symmetric ``exceptAll`` emptiness check against the batch
+output.  The DuckDB oracle reproduces ``n_out`` independently from the
+`events` view and pins ``equal_ok = true`` — so the driver's hash compare
+fails if the stream drops, duplicates, or mutates a single row.
+
+Replay construction (all deterministic):
+- fixture = events table → (entity=user_id, event_time=ts, event_id, value,
+  is_feat=(event_type='purchase'), dup=false), split into 3 files at the
+  exact 1/3 and 2/3 timestamp cuts (equal timestamps never straddle a file
+  boundary, so strict-`<` ties always share a micro-batch) + a 4th file of
+  byte-identical copies (dup=true) of every slice-0 row with event_id%7==0,
+  arriving LAST to exercise cross-batch dedup state;
+- file mtimes strictly increase (the file source orders by modification
+  time), ``maxFilesPerTrigger=1`` + ``availableNow`` → 4 micro-batches;
+- the three streaming queries run CONCURRENTLY (independent checkpoints) so
+  the gate pays max(), not sum(), of their wall times.
+
+Why time-ordered replay makes as-of exact: the GroupState carries only the
+newest feature row per entity, which is lossy only for events that arrive in
+a later micro-batch than a feature STAMPED AFTER them — impossible when file
+k's timestamps all precede file k+1's (the documented streaming relaxation
+never triggers; see stream_asof_enrich's docstring).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_qname_counter = itertools.count()
+
+GAP_SECONDS = 1800
+
+
+def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
+    """Materialize the 4-file replay fixture from ``sf_dir``/events.parquet
+    (idempotent — skips when the directory already holds 4 files).  Pure
+    pyarrow/pandas: deterministic bytes, no Spark partitioning in the way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == 4:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    df = t.rename(columns={"user_id": "entity", "ts": "event_time"})[
+        ["entity", "event_time", "event_id", "value"]
+    ].copy()
+    df["is_feat"] = (t["event_type"] == "purchase").to_numpy()
+    df["dup"] = False
+    df = df.sort_values(["event_time", "event_id"], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    cut1, cut2 = df["event_time"].iloc[n // 3], df["event_time"].iloc[2 * n // 3]
+    # slice strictly by timestamp VALUE so equal stamps share a file
+    slices = [
+        df[df["event_time"] < cut1],
+        df[(df["event_time"] >= cut1) & (df["event_time"] < cut2)],
+        df[df["event_time"] >= cut2],
+    ]
+    dups = slices[0][slices[0]["event_id"] % 7 == 0].copy()
+    dups["dup"] = True
+    schema = pa.Schema.from_pandas(slices[0], preserve_index=False)
+    base_mtime = 1_600_000_000
+    for i, part in enumerate(slices + [dups]):
+        p = os.path.join(out_dir, f"part-{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, schema=schema, preserve_index=False), p)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+    return out_dir
+
+
+def _run_to_memory(out: DataFrame, mode: str, checkpoint_root: str) -> DataFrame:
+    name = f"stream_eqv_{next(_qname_counter)}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(checkpoint_root, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name
+
+
+def _sym_diff_empty(a: DataFrame, b: DataFrame):
+    """Boolean one-cell aggregate: a and b hold exactly the same multiset of
+    rows (order-insensitive, exact values)."""
+    return (
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(b.exceptAll(a).agg(F.count(F.lit(1)).alias("m")))
+        .select(((F.col("n") == 0) & (F.col("m") == 0)).alias("ok"))
+    )
+
+
+def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
+                               fixture_dir: str) -> DataFrame:
+    """Replay the fixture through the three streaming operators and return
+    ``(surface, n_out, equal_ok)`` rows (see module docstring)."""
+    from feathr_online_spark.operators.asof import asof_join
+    from feathr_online_spark.operators.windows import sessionize
+    from feathr_online_spark.streaming.pit import (
+        stream_asof_enrich,
+        stream_exact_dedup,
+        stream_sessionize,
+    )
+
+    write_replay_fixture(sf_dir, fixture_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
+    schema = ("entity long, event_time timestamp, event_id long, "
+              "value double, is_feat boolean, dup boolean")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture_dir)
+    )
+
+    # -- as-of: non-purchase events enrich from purchase "features" --------
+    s_ev = (stream.filter(~F.col("is_feat") & ~F.col("dup"))
+            .select("entity", "event_time", "event_id"))
+    s_ft = (stream.filter(F.col("is_feat") & ~F.col("dup"))
+            .select("entity", F.col("event_time").alias("feature_time"),
+                    F.round("value", 4).alias("f")))
+    q_asof, t_asof = _run_to_memory(
+        stream_asof_enrich(s_ev, s_ft, strict=True), "append", ckpt)
+
+    # -- sessionize: all non-dup rows, complete mode flushes every session --
+    q_sess, t_sess = _run_to_memory(
+        stream_sessionize(
+            stream.filter(~F.col("dup")),
+            {"n": F.count(F.lit(1))},
+            gap=f"{GAP_SECONDS} seconds",
+        ),
+        "complete", ckpt)
+
+    # -- exact dedup: dup=true copies arrive in the LAST micro-batch and
+    #    must be dropped by cross-batch state (huge watermark: nothing late)
+    q_dedup, t_dedup = _run_to_memory(
+        stream_exact_dedup(stream, keys=["event_id"], watermark="3650 days"),
+        "append", ckpt)
+
+    for q in (q_asof, q_sess, q_dedup):
+        q.awaitTermination(300)
+
+    # batch references over the SAME fixture
+    fix = spark.read.parquet(fixture_dir)
+    b_ev = (fix.filter(~F.col("is_feat") & ~F.col("dup"))
+            .select("entity", "event_time", "event_id"))
+    b_ft = (fix.filter(F.col("is_feat") & ~F.col("dup"))
+            .select("entity", F.col("event_time").alias("feature_time"),
+                    F.round("value", 4).alias("f")))
+    b_asof = asof_join(b_ev, b_ft, strict=True)
+
+    b_sess_in = fix.filter(~F.col("dup"))
+    b_sess = (
+        sessionize(b_sess_in, gap_seconds=GAP_SECONDS)
+        .groupBy("entity", "session_id")
+        .agg(F.min("event_time").alias("session_start"),
+             (F.timestamp_micros(
+                 F.unix_micros(F.max("event_time")) + GAP_SECONDS * 1_000_000)
+              ).alias("session_end"),
+             F.count(F.lit(1)).alias("n"))
+        .select("entity", "session_start", "session_end", "n")
+    )
+
+    cmp_cols = ["entity", "event_time", "event_id", "value"]
+    b_dedup = fix.filter(~F.col("dup")).select(*cmp_cols)
+
+    def summary_row(surface: str, stream_tbl: str, batch_df: DataFrame,
+                    cols: list[str] | None = None) -> DataFrame:
+        s = spark.table(stream_tbl)
+        if cols:
+            s = s.select(*cols)
+            batch_df = batch_df.select(*cols)
+        return (
+            s.agg(F.count(F.lit(1)).alias("n_out"))
+            .crossJoin(_sym_diff_empty(s, batch_df))
+            .select(F.lit(surface).alias("surface"), "n_out",
+                    F.col("ok").alias("equal_ok"))
+        )
+
+    return (
+        summary_row("asof", t_asof, b_asof)
+        .unionByName(summary_row("dedup", t_dedup, b_dedup, cols=cmp_cols))
+        .unionByName(summary_row("sessionize", t_sess, b_sess,
+                                 cols=["entity", "session_start", "session_end", "n"]))
+    )

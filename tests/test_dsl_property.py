@@ -97,3 +97,207 @@ def test_dsl_comparison_matches_reference_semantics(spark):
             want = None if x is None or y is None else pyop[cmp](x, y)
             got = getattr(row, f"c{i}")
             assert got == want, f"{text} over {env}: spark={got} expected={want}"
+
+
+# ---------------------------------------------------------------------------
+# r4 extension (VERDICT r3 #6): string / datetime / dynamic-payload trees
+# ---------------------------------------------------------------------------
+
+STR_ROWS = [
+    {"s1": "Hello World", "s2": "abc"},
+    {"s1": "", "s2": "  padded  "},
+    {"s1": "a", "s2": "zz top"},
+    {"s1": "The-Quick-Brown-Fox", "s2": "x"},
+    {"s1": "  lead trail  ", "s2": "MiXeD CaSe"},
+]
+
+
+def gen_str_expr(rng: random.Random, depth: int):
+    """(dsl_text, eval_fn) over ASCII strings — eval_fn(env) → str.
+
+    Functions restricted to those whose reference semantics are unambiguous
+    and byte==char under ASCII (len.rs counts bytes; substring is the piper
+    0-based/negative-wrap contract of string_functions.rs:91-124)."""
+    if depth == 0 or rng.random() < 0.3:
+        c = rng.random()
+        if c < 0.4:
+            return "s1", lambda env: env["s1"]
+        if c < 0.8:
+            return "s2", lambda env: env["s2"]
+        lit = rng.choice(["xyz", "Q", "", "0 1"])
+        return f'"{lit}"', lambda env, v=lit: v
+
+    op = rng.choice(["upper", "lower", "trim", "ltrim", "rtrim", "concat", "substring"])
+    t, f = gen_str_expr(rng, depth - 1)
+    if op == "upper":
+        return f"upper({t})", lambda env, f=f: f(env).upper()
+    if op == "lower":
+        return f"lower({t})", lambda env, f=f: f(env).lower()
+    if op == "trim":
+        return f"trim({t})", lambda env, f=f: f(env).strip()
+    if op == "ltrim":
+        return f"ltrim({t})", lambda env, f=f: f(env).lstrip()
+    if op == "rtrim":
+        return f"rtrim({t})", lambda env, f=f: f(env).rstrip()
+    if op == "concat":
+        t2, f2 = gen_str_expr(rng, depth - 1)
+        return f"concat({t}, {t2})", lambda env, f=f, f2=f2: f(env) + f2(env)
+    start, length = rng.randint(-5, 5), rng.randint(-5, 5)
+
+    def sub(env, f=f, start=start, length=length):
+        # piper substring: 0-based; negative start wraps from the end
+        # (max(len+start, 0)); negative length slices to len+length
+        s = f(env)
+        norm = max(len(s) + start, 0) if start < 0 else start
+        norm_len = (max(len(s) + length - norm, 0) if length < 0 else length)
+        return s[norm:norm + norm_len] if norm_len > 0 else ""
+
+    return f"substring({t}, {start}, {length})", sub
+
+
+def test_dsl_string_functions_randomized(spark):
+    rng = random.Random(424242)
+    exprs = [gen_str_expr(rng, 3) for _ in range(70)]
+    cols = ", ".join(f"c{i} = {t}" for i, (t, _) in enumerate(exprs))
+    # a few integer roots exercise len-of-string through the same trees
+    lens = ", ".join(f"l{i} = len({t})" for i, (t, _) in enumerate(exprs[:15]))
+    p = parse_pipelines(
+        f"t(s1 as string, s2 as string)\n| project {cols}, {lens}\n;")["t"]
+    out = p.run(spark, STR_ROWS).collect()
+    for rowidx, row in enumerate(out):
+        env = STR_ROWS[rowidx] if False else {"s1": row.s1, "s2": row.s2}
+        for i, (text, ev) in enumerate(exprs):
+            want = ev(env)
+            got = getattr(row, f"c{i}")
+            assert got == want, f"{text} over {env}: spark={got!r} expected={want!r}"
+        for i, (text, ev) in enumerate(exprs[:15]):
+            assert getattr(row, f"l{i}") == len(ev(env)), f"len({text}) over {env}"
+
+
+from datetime import datetime as _DT
+
+DT_ROWS = [
+    {"d": _DT(2024, 2, 29, 23, 59, 59)},   # leap day
+    {"d": _DT(2023, 12, 31, 0, 0, 0)},     # year boundary
+    {"d": _DT(2024, 1, 1, 12, 0, 0)},
+    {"d": _DT(1999, 7, 4, 6, 30, 15)},
+    {"d": _DT(2024, 8, 18, 0, 0, 1)},      # a Sunday (piper dayofweek = 0)
+]
+
+
+def gen_dt_expr(rng: random.Random):
+    """(dsl_text, eval_fn) — one datetime field extractor, python-evaluated.
+
+    dayofweek uses the reference's bug-compat numbering ((weekday+2)%8:
+    Mon=2…Sat=7, Sun=0 — mod.rs:148, PARITY_DELTAS row)."""
+    field = rng.choice(["year", "month", "day", "hour", "minute", "second",
+                        "dayofyear", "dayofweek"])
+
+    def ev(env, field=field):
+        d = env["d"]
+        if field == "dayofyear":
+            return d.timetuple().tm_yday
+        if field == "dayofweek":
+            spark_dow = (d.weekday() + 1) % 7 + 1   # Sun=1 … Sat=7
+            return 0 if spark_dow == 1 else spark_dow
+        return getattr(d, field)
+
+    return f"{field}(d)", ev
+
+
+def test_dsl_datetime_functions_randomized(spark):
+    rng = random.Random(31337)
+    cases = []
+    for _ in range(50):
+        lt, lf = gen_dt_expr(rng)
+        rt, rf = gen_dt_expr(rng)
+        op = rng.choice(["+", "-", "*"])
+        pyop = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
+                "*": lambda x, y: x * y}[op]
+        cases.append((f"({lt} {op} {rt})",
+                      lambda env, lf=lf, rf=rf, pyop=pyop: pyop(lf(env), rf(env))))
+    cols = ", ".join(f"c{i} = {t}" for i, (t, _) in enumerate(cases))
+    p = parse_pipelines(f"t(d as datetime)\n| project {cols}\n;")["t"]
+    out = p.run(spark, DT_ROWS).collect()
+    for rowidx, row in enumerate(out):
+        env = DT_ROWS[rowidx]
+        for i, (text, ev) in enumerate(cases):
+            want = ev(env)
+            got = getattr(row, f"c{i}")
+            assert got == want, f"{text} over {env}: spark={got} expected={want}"
+
+
+DYN_ROWS = [
+    {"j": {"k": 5, "arr": [1, 2, 3], "nested": {"x": 7}}},
+    {"j": {"k": -3, "arr": [], "nested": {"x": 0}}},
+    {"j": {"k": 0, "arr": [10], "nested": {"x": -2}}},
+    {"j": {"k": 42, "arr": [4, 5, 6, 7], "nested": {"x": 9}}},
+]
+
+
+def gen_dyn_leaf(rng: random.Random):
+    """(dsl_text, eval_fn) — a dynamic-payload access: dot path or index,
+    possibly missing (→ None, the reference's JSON-null/missing → null)."""
+    c = rng.random()
+    if c < 0.3:
+        return "j.k", lambda env: env["j"]["k"]
+    if c < 0.5:
+        return "j.nested.x", lambda env: env["j"]["nested"]["x"]
+    if c < 0.65:
+        return "j.missing", lambda env: None
+    i = rng.randint(0, 4)
+
+    def ev(env, i=i):
+        arr = env["j"]["arr"]
+        return arr[i] if i < len(arr) else None   # OOR index → null
+
+    return f"j.arr[{i}]", ev
+
+
+def test_dsl_dynamic_payload_randomized(spark):
+    """Random dot/index accesses into an untyped (dynamic) JSON carrier,
+    combined arithmetically/comparatively — against a python dict walker.
+    Null propagation: missing keys and out-of-range indexes are null, and
+    null poisons arithmetic/comparisons (ANSI-off three-valued logic)."""
+    rng = random.Random(777)
+    cases = []
+    for _ in range(50):
+        lt, lf = gen_dyn_leaf(rng)
+        kind = rng.random()
+        if kind < 0.5:
+            rt, rf = gen_dyn_leaf(rng)
+            op = rng.choice(["+", "-", "*"])
+            pyop = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
+                    "*": lambda x, y: x * y}[op]
+
+            def ev(env, lf=lf, rf=rf, pyop=pyop):
+                x, y = lf(env), rf(env)
+                return None if x is None or y is None else pyop(x, y)
+
+            cases.append((f"({lt} {op} {rt})", ev))
+        else:
+            lit = rng.randint(-3, 8)
+            cmp = rng.choice([">", "<", ">=", "<=", "==", "!="])
+            import operator as _op
+
+            pyc = {">": _op.gt, "<": _op.lt, ">=": _op.ge,
+                   "<=": _op.le, "==": _op.eq, "!=": _op.ne}[cmp]
+
+            def ev(env, lf=lf, lit=lit, pyc=pyc):
+                x = lf(env)
+                return None if x is None else pyc(x, lit)
+
+            cases.append((f"({lt}) {cmp} {lit}", ev))
+    cols = ", ".join(f"c{i} = {t}" for i, (t, _) in enumerate(cases))
+    p = parse_pipelines(f"t(j)\n| project {cols}\n;")["t"]
+    out = p.run(spark, DYN_ROWS).collect()
+    for rowidx, row in enumerate(out):
+        env = DYN_ROWS[rowidx]
+        for i, (text, ev) in enumerate(cases):
+            want = ev(env)
+            got = getattr(row, f"c{i}")
+            if isinstance(want, bool) or want is None:
+                assert got == want, f"{text} over {env}: spark={got} expected={want}"
+            else:
+                assert got is not None and float(got) == float(want), \
+                    f"{text} over {env}: spark={got} expected={want}"

@@ -158,3 +158,15 @@ def test_dynamic_aggregate_propagates_through_top_and_process(spark):
     # lexical carrier ordering would rank '9' > '10' and keep ('a', '9');
     # runtime-typed ordering keeps 10 and 9 — as numbers, not text
     assert [(r["g"], r["mx"]) for r in rows] == [("b", 10), ("a", 9)]
+
+
+def test_process_input_bound_raises_with_guidance(spark):
+    """process() collects to the driver, so its input is bounded (VERDICT r3
+    #5): above the bound it raises, naming CompiledPipeline.apply for batch —
+    and under the bound the facade still works."""
+    p = Piper("t(x as long)\n| project y = x + 1\n;", spark=spark,
+              max_process_rows=10)
+    with pytest.raises(ValueError, match="CompiledPipeline.apply"):
+        p.process("t", [{"x": i} for i in range(11)])
+    rows, _ = p.process("t", [{"x": i} for i in range(10)])
+    assert sorted(r["y"] for r in rows) == list(range(1, 11))

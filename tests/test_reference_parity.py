@@ -483,3 +483,34 @@ def test_array_set_ops_keep_duplicates(spark):
     assert one(fn("array_intersect")(F.array(F.lit(2), F.lit(2)), b)) == [2, 2]
     assert one(fn("array_union")(a, b)) == [1, 1, 2, 3, 4]
     assert one(fn("arrays_zip")(a, b)) == [[1, 2], [1, 4], [2, 4]]  # min length
+
+
+def test_len_apply_time_dispatch_through_project(spark):
+    """len/length dispatch on the operand type like the reference
+    (len.rs:14-31): string → char count, array → element count.  The bare
+    registry builder can't see types, so Pipeline.project supplies the
+    dispatch at apply time from df.schema (VERDICT r3 #3)."""
+    from feathr_online_spark.functions.registry import fn
+    from feathr_online_spark.operators.pipeline import Pipeline
+
+    df = spark.createDataFrame([("hello", ["a", "b", "c"], None)],
+                               "s string, arr array<string>, narr array<int>")
+    out = Pipeline(df).project(
+        ls=fn("len")(F.col("s")),
+        la=fn("length")(F.col("arr")),
+        ln=fn("len")(F.col("narr")),   # null array → null count
+    ).df
+    r = out.collect()[0]
+    assert (r.ls, r.la, r.ln) == (5, 3, None)
+
+
+def test_len_bare_builder_raises_on_array(spark):
+    """Outside a schema-aware path, fn('len') on an array operand must be a
+    LOUD analyzer error — never a silent cast to string-length."""
+    from pyspark.errors import AnalysisException
+
+    from feathr_online_spark.functions.registry import fn
+
+    df = spark.createDataFrame([(["a", "b"],)], "arr array<string>")
+    with pytest.raises(AnalysisException):
+        df.select(fn("len")(F.col("arr"))).collect()

@@ -239,3 +239,21 @@ def test_stateful_ops_correct_across_arrow_chunks(spark, tmp_path):
         assert got2 == {10: 1.0, 15: 1.0, 30: 3.0, 35: 3.0, 50: 5.0, 55: 5.0}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stream_batch_equivalence_summary(spark, tmp_path):
+    """The replay harness (streaming/equiv.py): all three streaming surfaces
+    must be row-exactly batch-equivalent on the time-ordered 4-micro-batch
+    replay of the sf0.001 events table — the claim the stream_equiv gate
+    enforces per-round."""
+    from feathr_online_spark.streaming.equiv import stream_equivalence_summary
+
+    got = {r.surface: (r.n_out, r.equal_ok)
+           for r in stream_equivalence_summary(
+               spark, "/root/testdata/sf0.001", str(tmp_path / "fix")).collect()}
+    assert set(got) == {"asof", "dedup", "sessionize"}
+    for surface, (n, ok) in got.items():
+        assert ok, f"{surface} diverged from batch"
+        assert n > 0
+    # dedup must output every original row exactly once
+    assert got["dedup"][0] == 1000
