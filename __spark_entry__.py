@@ -1646,9 +1646,11 @@ _STREAM_EQV_ROOT = os.path.join(
 def q_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming surface gated by BATCH EQUIVALENCE (VERDICT r3 #4): the
     events table is replayed in event-time order across 4 micro-batches
-    (maxFilesPerTrigger=1 + a late duplicate file) through
-    stream_asof_enrich / stream_sessionize / stream_exact_dedup, and each
-    stream's full output is compared row-exactly (symmetric exceptAll)
+    (maxFilesPerTrigger=1 + a late duplicate file) through ALL FIVE
+    streaming surfaces — stream_asof_enrich / stream_sessionize /
+    stream_exact_dedup / stream_windowed_features / stream_forward_fill —
+    and each stream's full output is compared row-exactly (symmetric
+    exceptAll)
     against the already-oracle-gated batch operators on the same fixture.
     Output: (surface, n_out, equal_ok); the oracle reproduces every n_out
     independently from the events view and pins equal_ok = true, so one
@@ -1670,6 +1672,13 @@ SELECT 'asof' AS surface,
 UNION ALL
 SELECT 'dedup', (SELECT count(*) FROM events), true
 UNION ALL
+SELECT 'ffill', (SELECT count(*) FROM events), true
+UNION ALL
+SELECT 'windowed',
+       (SELECT count(*) FROM (
+          SELECT DISTINCT user_id, epoch_us(ts) // 600000000 FROM events)),
+       true
+UNION ALL
 SELECT 'sessionize',
        (SELECT count(*) FROM (
           SELECT CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -1677,6 +1686,77 @@ SELECT 'sessionize',
                       THEN 1 ELSE 0 END AS is_new
           FROM events) WHERE is_new = 1) AS n_out,
        true
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per source (duplicate-word
+    fraction, top-bigram token coverage, duplicate-5-gram fraction — Rae et
+    al. 2021 §A1.1), in integer basis points so the sums are BIT-exact
+    cross-engine (the quality_features_bp rationale).  All map-side array
+    expressions: one corpus pass, no shuffle beyond the tiny groupBy."""
+    from feathr_online_spark.operators.text import is_repetitive, repetition_signals_bp
+
+    docs = _t(spark, sf_dir, "documents")
+    s = repetition_signals_bp(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            s["dup_word_bp"].alias("dw"),
+            s["top2_bp"].alias("t2"),
+            s["dup5_bp"].alias("d5"),
+            is_repetitive("text").cast("long").alias("rep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dw").alias("dup_word_bp_sum"),
+            F.sum("t2").alias("top2_bp_sum"),
+            F.sum("d5").alias("dup5_bp_sum"),
+            F.sum("rep").alias("n_repetitive"),
+        )
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT source,
+         len(ws)::BIGINT AS n,
+         len(list_distinct(ws))::BIGINT AS nd,
+         CASE WHEN len(ws) >= 2
+              THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+              ELSE [] END AS g2,
+         CASE WHEN len(ws) >= 5
+              THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                    for i in range(1, len(ws) - 3)]
+              ELSE [] END AS g5
+  FROM w
+), m AS (
+  SELECT source, n, nd, len(g2)::BIGINT AS g2n,
+         CASE WHEN len(g2) > 0
+              THEN list_max(list_transform(list_distinct(g2),
+                                           gg -> len(list_filter(g2, x -> x = gg))))::BIGINT
+              ELSE 0 END AS t2c,
+         len(g5)::BIGINT AS g5n, len(list_distinct(g5))::BIGINT AS g5d
+  FROM g
+), bp AS (
+  SELECT source,
+         CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE 0 END AS dw,
+         CASE WHEN g2n > 0 THEN least(t2c * 2 * 10000 // n, 10000) ELSE 0 END AS t2,
+         CASE WHEN g5n > 0 THEN (g5n - g5d) * 10000 // g5n ELSE 0 END AS d5
+  FROM m
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(dw) AS BIGINT) AS dup_word_bp_sum,
+       CAST(sum(t2) AS BIGINT) AS top2_bp_sum,
+       CAST(sum(d5) AS BIGINT) AS dup5_bp_sum,
+       CAST(count(*) FILTER (WHERE dw > 5000 OR t2 > 2000 OR d5 > 3000) AS BIGINT)
+         AS n_repetitive
+FROM bp GROUP BY source
 """
 
 
@@ -1740,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_pipeline": q_dsl_pipeline,
         "embedding_lsh": q_embedding_lsh,
         "stream_equiv": q_stream_equiv,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1820,6 +1901,12 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s_ft = (stream.filter(F.col("is_feat") & ~F.col("dup"))
                 .select("entity", F.col("event_time").alias("feature_time"),
                         F.round("value", 4).alias("f")))
+        from feathr_online_spark.streaming.pit import (
+            stream_forward_fill, stream_windowed_features)
+
+        gaps = stream.filter(~F.col("dup")).select(
+            "entity", "event_time", "event_id",
+            F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
         qs = [
             eq._run_to_memory(stream_asof_enrich(s_ev, s_ft, strict=True),
                               "append", ckpt),
@@ -1832,6 +1919,14 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 stream_exact_dedup(stream, keys=["event_id"],
                                    watermark="3650 days"),
                 "append", ckpt),
+            eq._run_to_memory(
+                stream_windowed_features(stream.filter(~F.col("dup")),
+                                         {"n": F.count(F.lit(1))},
+                                         window="10 minutes",
+                                         watermark="1 hour"),
+                "complete", ckpt),
+            eq._run_to_memory(stream_forward_fill(gaps, ["v"]),
+                              "append", ckpt),
         ]
         for q, _ in qs:
             q.awaitTermination(300)
@@ -1912,4 +2007,5 @@ def oracle_sql() -> dict[str, str]:
         "dsl_pipeline": ORACLE_DSL_PIPELINE,
         "embedding_lsh": ORACLE_EMBEDDING_LSH,
         "stream_equiv": ORACLE_STREAM_EQUIV,
+        "text_repetition": ORACLE_TEXT_REPETITION,
     }

@@ -114,6 +114,71 @@ def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
     }
 
 
+def _word_ngrams(word_arr: Column, n: int) -> Column:
+    """Order-preserving word n-grams (duplicates kept — repetition metrics
+    need multiplicities, unlike the dedup shingles)."""
+    idx = F.sequence(F.lit(0), F.size(word_arr) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i + 1, n)))
+    return F.when(F.size(word_arr) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_signals_bp(text: ColumnOrName) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters), token-level, in integer basis points for cross-engine
+    bit-exactness (same rationale as quality_features_bp):
+
+    - ``dup_word_bp``: fraction of tokens that are repeats of an earlier
+      token, ``(n - n_distinct) / n``;
+    - ``top2_bp``: fraction of tokens covered by the single most frequent
+      word bigram, ``min(2·max_count / n, 1)`` (occurrences may overlap, so
+      capped at 10000);
+    - ``dup5_bp``: fraction of word 5-gram occurrences that are duplicates,
+      ``(g - g_distinct) / g`` — the n-gram repetition family's strongest
+      boilerplate detector.
+
+    All row-local array expressions — map-side over the scan, no shuffle, no
+    Python; a 100 TB corpus pays one pass.  Short docs degrade gracefully:
+    no bigrams/5-grams → 0 bp (not null), so downstream filters compose."""
+    w = words(text)
+    n = F.size(w).cast("long")
+    n_dist = F.size(F.array_distinct(w)).cast("long")
+    dup_word = F.when(n > 0, F.floor((n - n_dist) * 10000 / n)).otherwise(0)
+
+    g2 = _word_ngrams(w, 2)
+    top2_cnt = F.array_max(
+        F.transform(F.array_distinct(g2),
+                    lambda g: F.size(F.filter(g2, lambda x: x == g)))
+    ).cast("long")
+    top2 = F.when(
+        F.size(g2) > 0,
+        F.least(F.floor(top2_cnt * 2 * 10000 / n), F.lit(10000).cast("long")),
+    ).otherwise(0)
+
+    g5 = _word_ngrams(w, 5)
+    g5n = F.size(g5).cast("long")
+    g5d = F.size(F.array_distinct(g5)).cast("long")
+    dup5 = F.when(g5n > 0, F.floor((g5n - g5d) * 10000 / g5n)).otherwise(0)
+
+    return {
+        "dup_word_bp": dup_word.cast("long"),
+        "top2_bp": top2.cast("long"),
+        "dup5_bp": dup5.cast("long"),
+    }
+
+
+def is_repetitive(text: ColumnOrName,
+                  max_dup_word_bp: int = 5000,
+                  max_top2_bp: int = 2000,
+                  max_dup5_bp: int = 3000) -> Column:
+    """Boolean repetition filter with Gopher-shaped default thresholds
+    (tuned per-corpus in practice): true when ANY signal exceeds its cap."""
+    s = repetition_signals_bp(text)
+    return ((s["dup_word_bp"] > max_dup_word_bp)
+            | (s["top2_bp"] > max_top2_bp)
+            | (s["dup5_bp"] > max_dup5_bp))
+
+
 def quality_score_bp(text: ColumnOrName) -> Column:
     """Integer-exact composite quality in basis points [0, 10000]:
     0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic."""

@@ -8,9 +8,11 @@ exactly the batch operators' output.  This module turns that claim into a
 gate query: `stream_equivalence_summary` replays a deterministic fixture
 derived from the `events` table through
 
-- ``stream_asof_enrich``   vs batch ``asof_join``        (strict PIT),
-- ``stream_sessionize``    vs batch ``sessionize``       (gap sessions),
-- ``stream_exact_dedup``   vs batch ``dropDuplicates``   (ingest dedup),
+- ``stream_asof_enrich``       vs batch ``asof_join``      (strict PIT),
+- ``stream_sessionize``        vs batch ``sessionize``     (gap sessions),
+- ``stream_exact_dedup``       vs batch ``dropDuplicates`` (ingest dedup),
+- ``stream_windowed_features`` vs batch tumbling groupBy   (windowed aggs),
+- ``stream_forward_fill``      vs batch ``forward_fill``   (stateful ffill),
 
 and returns one row per surface: ``(surface, n_out, equal_ok)`` where
 ``equal_ok`` is a symmetric ``exceptAll`` emptiness check against the batch
@@ -114,11 +116,13 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
     """Replay the fixture through the three streaming operators and return
     ``(surface, n_out, equal_ok)`` rows (see module docstring)."""
     from feathr_online_spark.operators.asof import asof_join
-    from feathr_online_spark.operators.windows import sessionize
+    from feathr_online_spark.operators.windows import forward_fill, sessionize
     from feathr_online_spark.streaming.pit import (
         stream_asof_enrich,
         stream_exact_dedup,
+        stream_forward_fill,
         stream_sessionize,
+        stream_windowed_features,
     )
 
     write_replay_fixture(sf_dir, fixture_dir)
@@ -155,7 +159,26 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
         stream_exact_dedup(stream, keys=["event_id"], watermark="3650 days"),
         "append", ckpt)
 
-    for q in (q_asof, q_sess, q_dedup):
+    # -- tumbling 10-min windowed aggregates (complete mode flushes all) ---
+    q_win, t_win = _run_to_memory(
+        stream_windowed_features(
+            stream.filter(~F.col("dup")),
+            {"n": F.count(F.lit(1))},
+            window="10 minutes", watermark="1 hour",
+        ),
+        "complete", ckpt)
+
+    # -- stateful forward-fill: every 3rd value nulled, leading nulls in a
+    #    later micro-batch must fill from the PREVIOUS batch's state
+    def with_gaps(df):
+        return df.filter(~F.col("dup")).select(
+            "entity", "event_time", "event_id",
+            F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
+
+    q_ff, t_ff = _run_to_memory(
+        stream_forward_fill(with_gaps(stream), ["v"]), "append", ckpt)
+
+    for q in (q_asof, q_sess, q_dedup, q_win, q_ff):
         q.awaitTermination(300)
 
     # batch references over the SAME fixture
@@ -182,6 +205,16 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
     cmp_cols = ["entity", "event_time", "event_id", "value"]
     b_dedup = fix.filter(~F.col("dup")).select(*cmp_cols)
 
+    b_win = (
+        fix.filter(~F.col("dup"))
+        .groupBy("entity", F.window("event_time", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("entity", F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "n")
+    )
+
+    b_ff = forward_fill(with_gaps(fix), ["v"])
+
     def summary_row(surface: str, stream_tbl: str, batch_df: DataFrame,
                     cols: list[str] | None = None) -> DataFrame:
         s = spark.table(stream_tbl)
@@ -198,6 +231,10 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
     return (
         summary_row("asof", t_asof, b_asof)
         .unionByName(summary_row("dedup", t_dedup, b_dedup, cols=cmp_cols))
+        .unionByName(summary_row("ffill", t_ff, b_ff,
+                                 cols=["entity", "event_time", "event_id", "v"]))
         .unionByName(summary_row("sessionize", t_sess, b_sess,
                                  cols=["entity", "session_start", "session_end", "n"]))
+        .unionByName(summary_row("windowed", t_win, b_win,
+                                 cols=["entity", "window_start", "window_end", "n"]))
     )

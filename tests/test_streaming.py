@@ -242,7 +242,7 @@ def test_stateful_ops_correct_across_arrow_chunks(spark, tmp_path):
 
 
 def test_stream_batch_equivalence_summary(spark, tmp_path):
-    """The replay harness (streaming/equiv.py): all three streaming surfaces
+    """The replay harness (streaming/equiv.py): all five streaming surfaces
     must be row-exactly batch-equivalent on the time-ordered 4-micro-batch
     replay of the sf0.001 events table — the claim the stream_equiv gate
     enforces per-round."""
@@ -251,7 +251,7 @@ def test_stream_batch_equivalence_summary(spark, tmp_path):
     got = {r.surface: (r.n_out, r.equal_ok)
            for r in stream_equivalence_summary(
                spark, "/root/testdata/sf0.001", str(tmp_path / "fix")).collect()}
-    assert set(got) == {"asof", "dedup", "sessionize"}
+    assert set(got) == {"asof", "dedup", "ffill", "sessionize", "windowed"}
     for surface, (n, ok) in got.items():
         assert ok, f"{surface} diverged from batch"
         assert n > 0

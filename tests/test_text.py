@@ -59,3 +59,36 @@ def test_rolling_fingerprint_near_dup_stability(spark):
     fps = [r.f for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
     assert fps[0] == fps[1]  # min-shingle-hash robust to suffix append
     assert fps[0] != fps[2]
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed Gopher-style repetition signals (token-level, basis
+    points with floor — operators/text.py repetition_signals_bp)."""
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.text import is_repetitive, repetition_signals_bp
+
+    rows = [
+        ("plain", "one two three four five six"),            # no repetition
+        ("loop", "ab cd ab cd ab cd ab cd"),                 # one bigram dominates
+        ("stutter", "go go go go go go go go go go"),        # single token
+        ("short", "hi"),                                     # no bigrams/5-grams
+        ("empty", "   "),                                    # no tokens at all
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    s = repetition_signals_bp(F.col("text"))
+    got = {r.name: (r.dw, r.t2, r.d5, r.rep) for r in df.select(
+        "name", s["dup_word_bp"].alias("dw"), s["top2_bp"].alias("t2"),
+        s["dup5_bp"].alias("d5"), is_repetitive("text").alias("rep")).collect()}
+    # plain: 6 distinct of 6; top bigram count 1 → floor(2*10000/6)=3333; 2
+    # distinct 5-grams of 2
+    assert got["plain"] == (0, 3333, 0, True)   # top2 3333 > 2000 → repetitive
+    # loop: 8 tokens, 2 distinct → dup_word 7500; "ab cd" appears 4 of 7
+    # bigrams → min(4*2*10000/8, 10000) = 10000; 5-grams: 4 total, 2 distinct
+    # ("ab cd ab cd ab", "cd ab cd ab cd") → 5000
+    assert got["loop"] == (7500, 10000, 5000, True)
+    # stutter: 10 tokens 1 distinct → 9000; "go go" ×9 → cap 10000; 6
+    # 5-grams 1 distinct → floor(5*10000/6)=8333
+    assert got["stutter"] == (9000, 10000, 8333, True)
+    assert got["short"] == (0, 0, 0, False)
+    assert got["empty"] == (0, 0, 0, False)
