@@ -1760,6 +1760,62 @@ FROM bp GROUP BY source
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized exact ANN scan (SQ8: per-vector symmetric scale +
+    integer dot) vs the float exact top-10 — recall@10 ≥ 0.8 per query,
+    measured 0.9-1.0 at all three sfs.  The 100 TB rationale: the embedding
+    column is the corpus's dominant byte cost, and int8 cuts its
+    storage/scan/shuffle 4x while keeping cosine to ~1e-2 — candidate
+    generation runs quantized, float only at final verify
+    (operators/similarity.py quantize_vectors/dot_quantized)."""
+    from feathr_online_spark.operators.similarity import knn_bruteforce_quantized
+
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    queries = _queries_of(emb)
+    approx = knn_bruteforce_quantized(queries, emb, k=10)
+    exact = knn_bruteforce(queries, emb, k=10)
+    return _recall_vs_exact(approx, exact, min_hits=8)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity-coherent train/test split (operators/sampling.py)
+    keyed on user_id via the cross-engine md5-hex path, test fraction 25%.
+    Per event_type: train/test row counts, which DuckDB reproduces from the
+    SAME md5 rule — so the hash space, the threshold arithmetic and the
+    entity keying are all value-checked; leak_ok pins the coherence
+    invariant (no user on both sides — structurally impossible for a pure
+    key function, asserted anyway so a regression to row-level randomness
+    fails the gate)."""
+    from feathr_online_spark.operators.sampling import with_split
+
+    ev = _t(spark, sf_dir, "events")
+    marked = with_split(ev, "user_id", test_fraction=0.25, kind="md5")
+    counts = marked.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+    )
+    leak = (
+        marked.groupBy("user_id")
+        .agg(F.count_distinct("is_test").alias("k"))
+        .agg((F.max("k") <= 1).alias("leak_ok"))
+    )
+    return counts.crossJoin(F.broadcast(leak))
+
+
+ORACLE_HASH_SPLIT = """
+WITH m AS (
+  SELECT event_type, user_id,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '4000' AS is_test
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE NOT is_test) AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (WHERE is_test) AS BIGINT) AS n_test,
+       true AS leak_ok
+FROM m GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1821,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "stream_equiv": q_stream_equiv,
         "text_repetition": q_text_repetition,
+        "hash_split": q_hash_split,
+        "ann_quantized": q_ann_quantized,
     }
 
 
@@ -2008,4 +2066,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": ORACLE_EMBEDDING_LSH,
         "stream_equiv": ORACLE_STREAM_EQUIV,
         "text_repetition": ORACLE_TEXT_REPETITION,
+        "hash_split": ORACLE_HASH_SPLIT,
+        "ann_quantized": ORACLE_ANN_RECALL,
     }

@@ -62,6 +62,69 @@ def knn_bruteforce(
     )
 
 
+def quantize_vectors(df: DataFrame, vec_col: str = "embedding",
+                     q_col: str = "q_vec8", scale_col: str = "q_scale") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``q = round(x/s)`` with
+    ``s = max|x| / 127``, stored as ``array<tinyint>`` + one float scale —
+    the faiss ``SQ8`` recipe.
+
+    Why at 100 TB: a float32 embedding column is 4 bytes/dim; int8 is 1 —
+    the dominant storage/scan/shuffle cost of an embedding corpus drops 4×,
+    and the int dot product below recovers cosine to ~1e-2, far inside the
+    gap between a near-dup (cos ≥ 0.99) and the random-pair background
+    (≈ 0.6 here) — so dedup/ANN candidate generation can run entirely on
+    the quantized column and only the final verify (if any) touches floats.
+    Pure column expressions, map-side, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    return (df.withColumn(scale_col, scale)
+              .withColumn(q_col, F.transform(
+                  v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint"))))
+
+
+def dot_quantized(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Approximate dot product from two int8 vectors + their scales:
+    ``(Σ qa·qb) · sa · sb``.  The accumulation is integer (exact); only the
+    two scale multiplies are float."""
+    acc = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: a.cast("int") * b.cast("int")),
+        F.lit(0).cast("long"), lambda s, v: s + v,
+    )
+    return acc.cast("double") * sa * sb
+
+
+def knn_bruteforce_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact scan over int8-quantized UNIT vectors: normalize → quantize both
+    sides, score with the integer dot (≈ cosine), per-query top-k.  Same
+    plan shape as knn_bruteforce; 4× less data scanned per candidate."""
+    cq = quantize_vectors(
+        corpus.withColumn(c_vec, normalized(F.col(c_vec))), c_vec)
+    qq = quantize_vectors(
+        queries.withColumn(q_vec, normalized(F.col(q_vec))), q_vec,
+        q_col="__qq", scale_col="__qs")
+    scored = cq.crossJoin(F.broadcast(qq)).select(
+        F.col(q_id),
+        F.col(c_id).alias("neighbor_id"),
+        F.round(dot_quantized(F.col("q_vec8"), F.col("q_scale"),
+                              F.col("__qq"), F.col("__qs")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     import numpy as np
 

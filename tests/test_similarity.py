@@ -124,3 +124,63 @@ def test_embedding_lsh_pairs_planted_dups(spark, tmp_path):
     assert found <= planted                      # nothing but planted pairs
     assert len(found) >= 0.9 * len(planted)      # recall ≥ 0.9
     assert all(r.cos_sim >= 0.99 for r in got)
+
+
+def test_quantize_roundtrip_and_dot(spark):
+    """SQ8 quantization: values reconstruct within scale/2 per component and
+    the integer dot approximates the float dot to ~1e-2 on unit vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.similarity import (
+        dot_quantized,
+        normalized,
+        quantize_vectors,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 32))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = quantize_vectors(df, "embedding")
+    row = q.filter(F.col("vec_id") == 0).collect()[0]
+    rec = np.array(row.q_vec8, dtype=float) * row.q_scale
+    assert np.abs(rec - vecs[0]).max() <= row.q_scale / 2 + 1e-12
+    # pairwise quantized dot vs exact float dot
+    a = q.select(F.col("vec_id").alias("a"), F.col("q_vec8").alias("qa"),
+                 F.col("q_scale").alias("sa"), F.col("embedding").alias("va"))
+    b = q.select(F.col("vec_id").alias("b"), F.col("q_vec8").alias("qb"),
+                 F.col("q_scale").alias("sb"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b")).select(
+        dot_quantized(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("dq"),
+        F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("dx"))
+    mx = pairs.agg(F.max(F.abs(F.col("dq") - F.col("dx")))).collect()[0][0]
+    assert mx < 0.02
+
+
+def test_quantized_bruteforce_matches_exact_top1(spark):
+    """On a corpus with a planted exact duplicate, the quantized scan must
+    rank it first, like the float scan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feathr_online_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((100, 16))
+    vecs[7] = vecs[3]          # exact duplicate pair
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(3, [float(x) for x in vecs[3]])], "q_id long, q_vec array<double>")
+    for fn in (knn_bruteforce, knn_bruteforce_quantized):
+        top = fn(queries, corpus, k=3).filter(F.col("rank") <= 2)
+        ids = {r.neighbor_id for r in top.collect()}
+        assert ids == {3, 7}
