@@ -1760,6 +1760,51 @@ FROM bp GROUP BY source
 """
 
 
+_PII_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "pii_docs.parquet"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (operators/pii.py) over a deterministic
+    planted fixture (the synthetic documents carry no PII): per-kind match
+    totals, which DuckDB recomputes by running the SAME RE2/JDK-portable
+    regexes over the same parquet — so pattern semantics are value-checked
+    cross-engine — plus clean_ok: after scrub_pii, every detector finds
+    ZERO residual matches in every document (bool_and, in-query)."""
+    from feathr_online_spark.operators.pii import (
+        pii_counts,
+        scrub_pii,
+        write_pii_fixture,
+    )
+
+    write_pii_fixture(_PII_FIXTURE, n=240)
+    _prep(spark)
+    docs = spark.read.parquet(_PII_FIXTURE)
+    c = pii_counts(F.col("text"))
+    rc = pii_counts(scrub_pii(F.col("text")))
+    clean_row = sum(rc.values(), F.lit(0).cast("long")) == 0
+    return docs.agg(
+        F.sum(c["email"]).alias("n_email"),
+        F.sum(c["cc"]).alias("n_cc"),
+        F.sum(c["ssn"]).alias("n_ssn"),
+        F.sum(c["phone"]).alias("n_phone"),
+        F.sum(c["ipv4"]).alias("n_ipv4"),
+        F.bool_and(clean_row).alias("clean_ok"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(text, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b'))) AS BIGINT) AS n_cc,
+       CAST(sum(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))) AS BIGINT) AS n_ssn,
+       CAST(sum(len(regexp_extract_all(text, '\\(?\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}'))) AS BIGINT) AS n_phone,
+       CAST(sum(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) AS BIGINT) AS n_ipv4,
+       true AS clean_ok
+FROM read_parquet('{_PII_FIXTURE}')
+"""
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized exact ANN scan (SQ8: per-vector symmetric scale +
     integer dot) vs the float exact top-10 — recall@10 ≥ 0.8 per query,
@@ -1879,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "hash_split": q_hash_split,
         "ann_quantized": q_ann_quantized,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2011,10 +2057,12 @@ def oracle_sql() -> dict[str, str]:
     # ensure they exist whichever side (Spark query / DuckDB oracle) runs
     # first
     from feathr_online_spark.operators.multimodal import write_asset_fixture
+    from feathr_online_spark.operators.pii import write_pii_fixture
     from feathr_online_spark.operators.similarity import write_embedding_fixture
 
     write_asset_fixture(_MULTIMODAL_FIXTURE, n=96)
     write_embedding_fixture(_EMBEDDING_FIXTURE)
+    write_pii_fixture(_PII_FIXTURE, n=240)
     return {
         "asof_purchase": ORACLE_ASOF_PURCHASE,
         "where_project": ORACLE_WHERE_PROJECT,
@@ -2068,4 +2116,5 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": ORACLE_TEXT_REPETITION,
         "hash_split": ORACLE_HASH_SPLIT,
         "ann_quantized": ORACLE_ANN_RECALL,
+        "pii_scrub": ORACLE_PII_SCRUB,
     }
