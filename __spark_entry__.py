@@ -1695,18 +1695,25 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2021 §A1.1), in integer basis points so the sums are BIT-exact
     cross-engine (the quality_features_bp rationale).  All map-side array
     expressions: one corpus pass, no shuffle beyond the tiny groupBy."""
-    from feathr_online_spark.operators.text import is_repetitive, repetition_signals_bp
+    from feathr_online_spark.operators.text import repetition_signals_bp, words
 
     docs = _t(spark, sf_dir, "documents")
     s = repetition_signals_bp(F.col("text"))
+    # the flag derives from the ALREADY-SELECTED signal columns (the same
+    # thresholds as operators.text.is_repetitive, incl. the min-10-words
+    # guard) — recomputing is_repetitive(text) here would evaluate the
+    # O(len²) top-bigram expression twice per row
+    sel = docs.select(
+        "source",
+        F.size(words(F.col("text"))).alias("nw"),
+        s["dup_word_bp"].alias("dw"),
+        s["top2_bp"].alias("t2"),
+        s["dup5_bp"].alias("d5"),
+    )
+    rep = (((F.col("dw") > 5000) | (F.col("t2") > 2000) | (F.col("d5") > 3000))
+           & (F.col("nw") >= 10))
     return (
-        docs.select(
-            "source",
-            s["dup_word_bp"].alias("dw"),
-            s["top2_bp"].alias("t2"),
-            s["dup5_bp"].alias("d5"),
-            is_repetitive("text").cast("long").alias("rep"),
-        )
+        sel.withColumn("rep", rep.cast("long"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1747,14 +1754,16 @@ WITH w AS (
   SELECT source,
          CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE 0 END AS dw,
          CASE WHEN g2n > 0 THEN least(t2c * 2 * 10000 // n, 10000) ELSE 0 END AS t2,
-         CASE WHEN g5n > 0 THEN (g5n - g5d) * 10000 // g5n ELSE 0 END AS d5
+         CASE WHEN g5n > 0 THEN (g5n - g5d) * 10000 // g5n ELSE 0 END AS d5,
+         n
   FROM m
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(dw) AS BIGINT) AS dup_word_bp_sum,
        CAST(sum(t2) AS BIGINT) AS top2_bp_sum,
        CAST(sum(d5) AS BIGINT) AS dup5_bp_sum,
-       CAST(count(*) FILTER (WHERE dw > 5000 OR t2 > 2000 OR d5 > 3000) AS BIGINT)
+       CAST(count(*) FILTER (WHERE (dw > 5000 OR t2 > 2000 OR d5 > 3000)
+                               AND n >= 10) AS BIGINT)
          AS n_repetitive
 FROM bp GROUP BY source
 """
@@ -1983,63 +1992,22 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def e_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # the replay itself (3 concurrent streaming queries, 4 micro-batches)
-        # without the symmetric batch-comparison legs
+        # the replay itself (5 concurrent streaming queries, 4 micro-batches)
+        # without the symmetric batch-comparison legs — SAME wiring as the
+        # gate via the shared replay_streams helper, so the engine/verify
+        # split can never drift from the gate's plumbing
         from feathr_online_spark.streaming import equiv as eq
 
         fixture = os.path.join(
             _STREAM_EQV_ROOT, os.path.basename(os.path.normpath(sf_dir)))
-        eq.write_replay_fixture(sf_dir, fixture)
-        import tempfile
-
-        ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
-        schema = ("entity long, event_time timestamp, event_id long, "
-                  "value double, is_feat boolean, dup boolean")
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(fixture))
-        from feathr_online_spark.streaming.pit import (
-            stream_asof_enrich, stream_exact_dedup, stream_sessionize)
-
-        s_ev = (stream.filter(~F.col("is_feat") & ~F.col("dup"))
-                .select("entity", "event_time", "event_id"))
-        s_ft = (stream.filter(F.col("is_feat") & ~F.col("dup"))
-                .select("entity", F.col("event_time").alias("feature_time"),
-                        F.round("value", 4).alias("f")))
-        from feathr_online_spark.streaming.pit import (
-            stream_forward_fill, stream_windowed_features)
-
-        gaps = stream.filter(~F.col("dup")).select(
-            "entity", "event_time", "event_id",
-            F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
-        qs = [
-            eq._run_to_memory(stream_asof_enrich(s_ev, s_ft, strict=True),
-                              "append", ckpt),
-            eq._run_to_memory(
-                stream_sessionize(stream.filter(~F.col("dup")),
-                                  {"n": F.count(F.lit(1))},
-                                  gap=f"{eq.GAP_SECONDS} seconds"),
-                "complete", ckpt),
-            eq._run_to_memory(
-                stream_exact_dedup(stream, keys=["event_id"],
-                                   watermark="3650 days"),
-                "append", ckpt),
-            eq._run_to_memory(
-                stream_windowed_features(stream.filter(~F.col("dup")),
-                                         {"n": F.count(F.lit(1))},
-                                         window="10 minutes",
-                                         watermark="1 hour"),
-                "complete", ckpt),
-            eq._run_to_memory(stream_forward_fill(gaps, ["v"]),
-                              "append", ckpt),
-        ]
-        for q, _ in qs:
-            q.awaitTermination(300)
-        out = None
-        for _, name in qs:
-            row = spark.table(name).agg(F.count(F.lit(1)).alias("n_out")) \
-                .select(F.lit(name).alias("surface"), "n_out")
-            out = row if out is None else out.unionByName(row)
-        return out
+        state = eq.run_replay(spark, sf_dir, fixture)
+        handles, ckpt = state["handles"], state["ckpt"]
+        try:
+            rows = [(surface, spark.table(name).count())
+                    for surface, (_q, name) in handles.items()]
+        finally:
+            eq._cleanup_replay(spark, handles, ckpt)
+        return spark.createDataFrame(rows, "surface string, n_out long")
 
     return {
         "sketches": e_sketches,

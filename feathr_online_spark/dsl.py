@@ -524,10 +524,17 @@ class ExprCompiler:
             # a plain str: JsonPaths, regex patterns, literal delimiters and
             # translate alphabets (Spark takes str-typed parameters there,
             # or the wrapper needs the value at plan-build time).
+            # (the pyspark wrappers of concat_ws/array_join/substring_index
+            # forward these params raw to the JVM as java.lang.String — a
+            # Column there raises NOT_ITERABLE at plan build; empirically
+            # audited across the registry, tests/test_dsl.py str-literal
+            # regression tests)
             native_str = {
                 "get_json_object": {1}, "get_json_array": {1},
                 "regexp_extract": {1}, "regexp_replace": {1, 2},
                 "split": {1}, "split_part": {1}, "translate": {1, 2},
+                "concat_ws": {0}, "array_join": {1, 2},
+                "substring_index": {1},
             }.get(name.lower(), set())
             args = []
             for pos, x in enumerate(ast[2]):

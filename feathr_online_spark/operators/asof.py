@@ -200,6 +200,12 @@ def _asof_cogroup(
 
     event_cols = list(events.columns)
     out_cols = event_cols + payload + ([match_indicator] if match_indicator else [])
+    # the merge's always-true marker column rides the right frame; a
+    # same-named column on EITHER side would make pandas suffix both to
+    # __asof_m___x/_y and break the rename/projection below — refuse loudly
+    if "__asof_m__" in event_cols or "__asof_m__" in payload:
+        raise ValueError("asof_join(cogroup): column name '__asof_m__' is "
+                         "reserved by the merge internals; rename it")
     allow_exact = not strict
 
     # Same deterministic winner among equal-(entity, ts) feature rows as the

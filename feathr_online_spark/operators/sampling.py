@@ -39,16 +39,27 @@ _MD5_SPACE = 1 << 16  # 4 hex chars
 
 def _key_str(on: Column | str, salt: str) -> Column:
     c = F.col(on) if isinstance(on, str) else on
-    c = c.cast("string")
+    # a NULL key must still land deterministically on ONE side — without the
+    # coalesce the md5 path's comparison is NULL and both filters of a split
+    # silently DROP the row (sentinel: a string no cast-of-value produces)
+    c = F.coalesce(c.cast("string"), F.lit("\x00__null_key__"))
     return F.concat(c, F.lit(salt)) if salt else c
 
 
 def hash_in_fraction(on: Column | str, fraction: float, salt: str = "",
                      kind: str = "xxhash64") -> Column:
     """Boolean: the key falls in the first ``fraction`` of the hash space.
-    Deterministic in the key (and salt) only — see module docstring."""
+    Deterministic in the key (and salt) only — see module docstring.
+    NULL keys hash as a sentinel, so they fall coherently on one side
+    (never silently dropped)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # exact edges: fraction*space truncation must not strand the top bucket
+    # (format(65536, '04x') is 5 chars and the hex compare would keep ~6%)
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
     key = _key_str(on, salt)
     if kind == "xxhash64":
         # shift to [0, 2^63): Long.MIN_VALUE's abs overflows, pmod is exact

@@ -170,13 +170,23 @@ def repetition_signals_bp(text: ColumnOrName) -> dict[str, Column]:
 def is_repetitive(text: ColumnOrName,
                   max_dup_word_bp: int = 5000,
                   max_top2_bp: int = 2000,
-                  max_dup5_bp: int = 3000) -> Column:
+                  max_dup5_bp: int = 3000,
+                  min_words: int = 10) -> Column:
     """Boolean repetition filter with Gopher-shaped default thresholds
-    (tuned per-corpus in practice): true when ANY signal exceeds its cap."""
+    (tuned per-corpus in practice): true when ANY signal exceeds its cap.
+
+    ``min_words``: documents shorter than this are NEVER flagged — the
+    fractions are meaningless at tiny n (a 6-word doc with zero repetition
+    has top2_bp = floor(2·10000/6) = 3333 purely from its length; Gopher
+    likewise applies its repetition filters only above a minimum length).
+    Set 0 to disable the guard."""
     s = repetition_signals_bp(text)
-    return ((s["dup_word_bp"] > max_dup_word_bp)
+    flag = ((s["dup_word_bp"] > max_dup_word_bp)
             | (s["top2_bp"] > max_top2_bp)
             | (s["dup5_bp"] > max_dup5_bp))
+    if min_words > 0:
+        flag = flag & (F.size(words(text)) >= min_words)
+    return flag
 
 
 def quality_score_bp(text: ColumnOrName) -> Column:

@@ -10,7 +10,15 @@ keys its idempotent metrics writes by.
 
 The checksum is an order-insensitive XOR-fold of per-row xxhash64 so it is
 stable under any task scheduling, making it usable for resume verification
-(same input partition → same checksum)."""
+(same input partition → same checksum).
+
+Checksum definition v2 (r4): BOTH forms hash ALL columns (the grouped form
+previously excluded the ``by`` column), so the two forms are comparable —
+XOR-folding grouped checksums equals XOR-folding task-partition checksums of
+the same data.  Metrics tables written under the v1 definition are NOT
+comparable to v2 checksums for the grouped form; treat the change as a
+metrics-schema migration (recompute or namespace old rows) when upgrading a
+long-lived metrics store."""
 
 from __future__ import annotations
 
@@ -20,6 +28,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType, DoubleType
+
+#: bump when the checksum input definition changes; consumers persisting
+#: checksums should record it alongside (see docstring migration note)
+CHECKSUM_VERSION = 2
 
 LINEAGE_SCHEMA = StructType(
     [

@@ -80,6 +80,20 @@ def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
     ]
     dups = slices[0][slices[0]["event_id"] % 7 == 0].copy()
     dups["dup"] = True
+    # boundary-semantics guard: a per-entity gap of EXACTLY the session gap
+    # is the one input where batch sessionize (new session iff gap > g) and
+    # session_window (touching windows don't merge → new session iff
+    # gap >= g) legitimately disagree — the driver data has none
+    # (microsecond stamps), but a future regeneration must fail LOUDLY here
+    # rather than as an inscrutable equal_ok=false
+    gaps_us = (df.sort_values(["entity", "event_time"], kind="mergesort")
+                 .groupby("entity")["event_time"].diff().dropna()
+                 .astype("int64") // 1000)
+    if (gaps_us == GAP_SECONDS * 1_000_000).any():
+        raise AssertionError(
+            "replay fixture contains a per-entity gap of exactly "
+            f"{GAP_SECONDS}s — batch sessionize (>) and session_window (>=) "
+            "diverge on that boundary; regenerate or change GAP_SECONDS")
     schema = pa.Schema.from_pandas(slices[0], preserve_index=False)
     base_mtime = 1_600_000_000
     for i, part in enumerate(slices + [dups]):
@@ -111,12 +125,19 @@ def _sym_diff_empty(a: DataFrame, b: DataFrame):
     )
 
 
-def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
-                               fixture_dir: str) -> DataFrame:
-    """Replay the fixture through the three streaming operators and return
-    ``(surface, n_out, equal_ok)`` rows (see module docstring)."""
-    from feathr_online_spark.operators.asof import asof_join
-    from feathr_online_spark.operators.windows import forward_fill, sessionize
+def _with_gaps(df: DataFrame) -> DataFrame:
+    """Forward-fill input shape: every 3rd value nulled (leading nulls in a
+    later micro-batch must fill from the previous batch's carried state)."""
+    return df.filter(~F.col("dup")).select(
+        "entity", "event_time", "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
+
+
+def replay_streams(spark: SparkSession, fixture_dir: str, ckpt: str) -> dict:
+    """Start all five streaming surfaces over the replay fixture and return
+    ``{surface: (query, memory_table_name)}`` — shared by the equivalence
+    summary AND the bench engine-only variant, so the two can never drift
+    apart in wiring (what the engine/verify split exists to separate)."""
     from feathr_online_spark.streaming.pit import (
         stream_asof_enrich,
         stream_exact_dedup,
@@ -125,8 +146,6 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
         stream_windowed_features,
     )
 
-    write_replay_fixture(sf_dir, fixture_dir)
-    ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
     schema = ("entity long, event_time timestamp, event_id long, "
               "value double, is_feat boolean, dup boolean")
     stream = (
@@ -134,52 +153,78 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(fixture_dir)
     )
-
-    # -- as-of: non-purchase events enrich from purchase "features" --------
+    # as-of: non-purchase events enrich from purchase "features"
     s_ev = (stream.filter(~F.col("is_feat") & ~F.col("dup"))
             .select("entity", "event_time", "event_id"))
     s_ft = (stream.filter(F.col("is_feat") & ~F.col("dup"))
             .select("entity", F.col("event_time").alias("feature_time"),
                     F.round("value", 4).alias("f")))
-    q_asof, t_asof = _run_to_memory(
-        stream_asof_enrich(s_ev, s_ft, strict=True), "append", ckpt)
+    return {
+        "asof": _run_to_memory(
+            stream_asof_enrich(s_ev, s_ft, strict=True), "append", ckpt),
+        # complete mode flushes every session/window at end-of-replay
+        "sessionize": _run_to_memory(
+            stream_sessionize(stream.filter(~F.col("dup")),
+                              {"n": F.count(F.lit(1))},
+                              gap=f"{GAP_SECONDS} seconds"),
+            "complete", ckpt),
+        # dup=true copies arrive in the LAST micro-batch and must be dropped
+        # by cross-batch state (huge watermark: nothing is ever late)
+        "dedup": _run_to_memory(
+            stream_exact_dedup(stream, keys=["event_id"],
+                               watermark="3650 days"),
+            "append", ckpt),
+        "windowed": _run_to_memory(
+            stream_windowed_features(stream.filter(~F.col("dup")),
+                                     {"n": F.count(F.lit(1))},
+                                     window="10 minutes", watermark="1 hour"),
+            "complete", ckpt),
+        "ffill": _run_to_memory(
+            stream_forward_fill(_with_gaps(stream), ["v"]), "append", ckpt),
+    }
 
-    # -- sessionize: all non-dup rows, complete mode flushes every session --
-    q_sess, t_sess = _run_to_memory(
-        stream_sessionize(
-            stream.filter(~F.col("dup")),
-            {"n": F.count(F.lit(1))},
-            gap=f"{GAP_SECONDS} seconds",
-        ),
-        "complete", ckpt)
 
-    # -- exact dedup: dup=true copies arrive in the LAST micro-batch and
-    #    must be dropped by cross-batch state (huge watermark: nothing late)
-    q_dedup, t_dedup = _run_to_memory(
-        stream_exact_dedup(stream, keys=["event_id"], watermark="3650 days"),
-        "append", ckpt)
+def _cleanup_replay(spark: SparkSession, handles: dict, ckpt: str) -> None:
+    """Drop the memory-sink tables and the checkpoint dir — a memory sink
+    pins its full output in DRIVER memory until the view is dropped, and
+    bench reps would otherwise accumulate dead tables for the session's
+    lifetime."""
+    import shutil
 
-    # -- tumbling 10-min windowed aggregates (complete mode flushes all) ---
-    q_win, t_win = _run_to_memory(
-        stream_windowed_features(
-            stream.filter(~F.col("dup")),
-            {"n": F.count(F.lit(1))},
-            window="10 minutes", watermark="1 hour",
-        ),
-        "complete", ckpt)
+    for _q, name in handles.values():
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    shutil.rmtree(ckpt, ignore_errors=True)
 
-    # -- stateful forward-fill: every 3rd value nulled, leading nulls in a
-    #    later micro-batch must fill from the PREVIOUS batch's state
-    def with_gaps(df):
-        return df.filter(~F.col("dup")).select(
-            "entity", "event_time", "event_id",
-            F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
 
-    q_ff, t_ff = _run_to_memory(
-        stream_forward_fill(with_gaps(stream), ["v"]), "append", ckpt)
-
-    for q in (q_asof, q_sess, q_dedup, q_win, q_ff):
+def run_replay(spark: SparkSession, sf_dir: str, fixture_dir: str) -> dict:
+    """Fixture + replay + awaitTermination; returns the handles dict.
+    Caller must _cleanup_replay (or consume via stream_equivalence_summary,
+    which does)."""
+    write_replay_fixture(sf_dir, fixture_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
+    handles = replay_streams(spark, fixture_dir, ckpt)
+    for q, _name in handles.values():
         q.awaitTermination(300)
+    return {"handles": handles, "ckpt": ckpt}
+
+
+def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
+                               fixture_dir: str) -> DataFrame:
+    """Replay the fixture through all five streaming operators and return
+    ``(surface, n_out, equal_ok)`` rows (see module docstring).
+
+    The comparison is evaluated EAGERLY and the result returned as a small
+    local DataFrame: the summary is 5 rows, and deferring it would pin the
+    memory-sink tables (full stream outputs, driver-resident) for as long
+    as the caller holds the plan."""
+    from feathr_online_spark.operators.asof import asof_join
+    from feathr_online_spark.operators.windows import forward_fill, sessionize
+
+    state = run_replay(spark, sf_dir, fixture_dir)
+    handles, ckpt = state["handles"], state["ckpt"]
 
     # batch references over the SAME fixture
     fix = spark.read.parquet(fixture_dir)
@@ -190,9 +235,8 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
                     F.round("value", 4).alias("f")))
     b_asof = asof_join(b_ev, b_ft, strict=True)
 
-    b_sess_in = fix.filter(~F.col("dup"))
     b_sess = (
-        sessionize(b_sess_in, gap_seconds=GAP_SECONDS)
+        sessionize(fix.filter(~F.col("dup")), gap_seconds=GAP_SECONDS)
         .groupBy("entity", "session_id")
         .agg(F.min("event_time").alias("session_start"),
              (F.timestamp_micros(
@@ -213,28 +257,30 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
                 F.col("win.end").alias("window_end"), "n")
     )
 
-    b_ff = forward_fill(with_gaps(fix), ["v"])
+    b_ff = forward_fill(_with_gaps(fix), ["v"])
 
-    def summary_row(surface: str, stream_tbl: str, batch_df: DataFrame,
-                    cols: list[str] | None = None) -> DataFrame:
-        s = spark.table(stream_tbl)
-        if cols:
-            s = s.select(*cols)
-            batch_df = batch_df.select(*cols)
-        return (
-            s.agg(F.count(F.lit(1)).alias("n_out"))
-            .crossJoin(_sym_diff_empty(s, batch_df))
-            .select(F.lit(surface).alias("surface"), "n_out",
-                    F.col("ok").alias("equal_ok"))
-        )
-
-    return (
-        summary_row("asof", t_asof, b_asof)
-        .unionByName(summary_row("dedup", t_dedup, b_dedup, cols=cmp_cols))
-        .unionByName(summary_row("ffill", t_ff, b_ff,
-                                 cols=["entity", "event_time", "event_id", "v"]))
-        .unionByName(summary_row("sessionize", t_sess, b_sess,
-                                 cols=["entity", "session_start", "session_end", "n"]))
-        .unionByName(summary_row("windowed", t_win, b_win,
-                                 cols=["entity", "window_start", "window_end", "n"]))
-    )
+    batch_side = {
+        "asof": (b_asof, None),
+        "dedup": (b_dedup, cmp_cols),
+        "ffill": (b_ff, ["entity", "event_time", "event_id", "v"]),
+        "sessionize": (b_sess, ["entity", "session_start", "session_end", "n"]),
+        "windowed": (b_win, ["entity", "window_start", "window_end", "n"]),
+    }
+    try:
+        rows = []
+        for surface, (batch_df, cols) in batch_side.items():
+            st = spark.table(handles[surface][1])
+            if cols:
+                st = st.select(*cols)
+                batch_df = batch_df.select(*cols)
+            r = (
+                st.agg(F.count(F.lit(1)).alias("n_out"))
+                .crossJoin(_sym_diff_empty(st, batch_df))
+                .select(F.lit(surface).alias("surface"), "n_out",
+                        F.col("ok").alias("equal_ok"))
+            ).collect()[0]
+            rows.append((surface, r.n_out, bool(r.equal_ok)))
+    finally:
+        _cleanup_replay(spark, handles, ckpt)
+    return spark.createDataFrame(
+        rows, "surface string, n_out long, equal_ok boolean")

@@ -437,3 +437,29 @@ def test_review_fixes_dynamic_edges(spark):
     rows = [{"id": 1, "s": 5}, {"id": 2, "s": None}, {"id": 3, "s": 1}]
     got = [r.id for r in p3.run(spark, rows).collect()]
     assert got == [2, 3]             # null leads, then smallest number
+
+
+def test_string_literal_args_neither_column_capture_nor_not_iterable(spark):
+    """r4 regression pair: (a) a string literal must NEVER resolve as a
+    column reference (upper("s1") is the literal 's1' even though a column
+    s1 exists); (b) the functions whose pyspark wrappers demand plain-str
+    params (concat_ws/array_join/substring_index/split/...) must still
+    receive natives and not F.lit (NOT_ITERABLE at plan build)."""
+    src = ('t(s1 as string, arr as array)\n'
+           '| project up = upper("s1"),\n'
+           '          cw = concat_ws("-", s1, s1),\n'
+           '          aj = array_join(arr, "|"),\n'
+           '          si = substring_index(s1, " ", 1),\n'
+           '          sp = split_part("a,b,c", ",", 2),\n'
+           '          tr = trim("  x  ")\n'
+           ';')
+    from feathr_online_spark.dsl import parse_pipelines
+
+    p = parse_pipelines(src)["t"]
+    out = p.run(spark, [{"s1": "hello world", "arr": ["p", "q"]}]).collect()[0]
+    assert out.up == "S1"                  # literal, NOT the column's "HELLO WORLD"
+    assert out.cw == "hello world-hello world"
+    assert out.aj == "p|q"
+    assert out.si == "hello"
+    assert out.sp == "b"
+    assert out.tr == "x"

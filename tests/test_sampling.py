@@ -70,3 +70,27 @@ def test_bad_fraction_raises(keyed):
         hash_in_fraction("entity", 1.5)
     with pytest.raises(ValueError):
         hash_in_fraction("entity", 0.5, kind="sha9")
+
+
+@pytest.mark.parametrize("kind", ["xxhash64", "md5"])
+def test_null_keys_never_dropped_and_stay_coherent(spark, kind):
+    """r4 review fix: NULL keys must land deterministically on ONE side of a
+    split — never vanish from both (the md5 comparison is NULL on NULL)."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (5, 3), (None, 4)], "entity long, row_id long")
+    train, test = train_test_split(df, "entity", 0.5, kind=kind)
+    assert train.count() + test.count() == 4
+    null_sides = {
+        side for side, d in (("train", train), ("test", test))
+        if d.filter(F.col("entity").isNull()).count() > 0
+    }
+    assert len(null_sides) == 1   # all three null rows on one side together
+
+
+@pytest.mark.parametrize("kind", ["xxhash64", "md5"])
+@pytest.mark.parametrize("frac,expect", [(1.0, 100), (0.0, 0)])
+def test_fraction_edges_exact(spark, kind, frac, expect):
+    """r4 review fix: fraction 1.0 keeps EVERYTHING (the naive md5 hex
+    threshold '10000' kept ~6%), fraction 0.0 keeps nothing."""
+    df = spark.range(100)
+    assert hash_sample(df, "id", frac, kind=kind).count() == expect

@@ -81,14 +81,19 @@ def test_repetition_signals_golden(spark):
         "name", s["dup_word_bp"].alias("dw"), s["top2_bp"].alias("t2"),
         s["dup5_bp"].alias("d5"), is_repetitive("text").alias("rep")).collect()}
     # plain: 6 distinct of 6; top bigram count 1 → floor(2*10000/6)=3333; 2
-    # distinct 5-grams of 2
-    assert got["plain"] == (0, 3333, 0, True)   # top2 3333 > 2000 → repetitive
+    # distinct 5-grams of 2.  NOT flagged: 6 words < the min-10-words guard
+    # (top2_bp on short docs reflects length, not repetition — r4 review fix)
+    assert got["plain"] == (0, 3333, 0, False)
     # loop: 8 tokens, 2 distinct → dup_word 7500; "ab cd" appears 4 of 7
     # bigrams → min(4*2*10000/8, 10000) = 10000; 5-grams: 4 total, 2 distinct
     # ("ab cd ab cd ab", "cd ab cd ab cd") → 5000
-    assert got["loop"] == (7500, 10000, 5000, True)
+    assert got["loop"] == (7500, 10000, 5000, False)  # 8 words < 10 guard
     # stutter: 10 tokens 1 distinct → 9000; "go go" ×9 → cap 10000; 6
-    # 5-grams 1 distinct → floor(5*10000/6)=8333
+    # 5-grams 1 distinct → floor(5*10000/6)=8333; 10 words → guard passes
     assert got["stutter"] == (9000, 10000, 8333, True)
+    # the guard is a parameter: disabled, the short repetitive doc flags too
+    from feathr_online_spark.operators.text import is_repetitive as _isr
+    flagged = df.select("name", _isr("text", min_words=0).alias("r")).collect()
+    assert {r.name: r.r for r in flagged}["loop"] is True
     assert got["short"] == (0, 0, 0, False)
     assert got["empty"] == (0, 0, 0, False)
