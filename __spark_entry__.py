@@ -47,6 +47,10 @@ def _prep(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.ansi.enabled": "false",
+        # Spark 4.1 streaming-checkpoint checksum writer can deadlock task
+        # commit under many concurrent stateful queries (see session.py) —
+        # the stream_equiv replay needs it off in the driver's session too
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)
@@ -1657,6 +1661,7 @@ def q_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped/duplicated/mutated streamed row fails the hash."""
     from feathr_online_spark.streaming.equiv import stream_equivalence_summary
 
+    _prep(spark)   # incl. the checkpoint-checksum deadlock workaround
     fixture = os.path.join(
         _STREAM_EQV_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     return stream_equivalence_summary(spark, sf_dir, fixture)

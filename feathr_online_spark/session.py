@@ -34,6 +34,15 @@ ENGINE_CONF: dict[str, str] = {
     # ANSI off: piper's expression failures are values, not exceptions
     # (SURVEY.md §1.4); null-on-error matches that far better than throwing.
     "spark.sql.ansi.enabled": "false",
+    # Spark 4.1's streaming-checkpoint CHECKSUM writer hands every state
+    # delta/commit file to a background checksum future and blocks the task
+    # on it at close; observed deadlocked forever (thread parked in
+    # ChecksumCheckpointFileManager.awaitResult, 745 s CPU then hang) when
+    # many stateful queries × many state-store partitions commit in one
+    # JVM — exactly the stream_equiv replay in a long bench session.
+    # Checkpoint integrity is irrelevant for this engine's ephemeral local
+    # checkpoints; a real deployment can re-enable per-job.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

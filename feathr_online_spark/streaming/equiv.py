@@ -199,15 +199,30 @@ def _cleanup_replay(spark: SparkSession, handles: dict, ckpt: str) -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def run_replay(spark: SparkSession, sf_dir: str, fixture_dir: str) -> dict:
+def run_replay(spark: SparkSession, sf_dir: str, fixture_dir: str,
+               timeout_s: int = 600) -> dict:
     """Fixture + replay + awaitTermination; returns the handles dict.
     Caller must _cleanup_replay (or consume via stream_equivalence_summary,
-    which does)."""
+    which does).
+
+    A query that has not terminated within ``timeout_s`` is STOPPED and the
+    whole replay raises: ``awaitTermination(timeout)`` returns False on
+    timeout without stopping anything, and proceeding would let the caller
+    compare half-finished output — or worse, delete the checkpoint dir out
+    from under a live query."""
     write_replay_fixture(sf_dir, fixture_dir)
     ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
     handles = replay_streams(spark, fixture_dir, ckpt)
-    for q, _name in handles.values():
-        q.awaitTermination(300)
+    stuck = []
+    for surface, (q, _name) in handles.items():
+        if not q.awaitTermination(timeout_s):
+            stuck.append(surface)
+            q.stop()
+    if stuck:
+        _cleanup_replay(spark, handles, ckpt)
+        raise TimeoutError(
+            f"stream replay did not finish within {timeout_s}s for "
+            f"{stuck}; queries stopped and resources cleaned up")
     return {"handles": handles, "ckpt": ckpt}
 
 
