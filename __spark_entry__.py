@@ -1704,10 +1704,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     s = repetition_signals_bp(F.col("text"))
+    # widen: the corpus arrives as ONE scan partition locally and the
+    # signals are CPU-dense, byte-light (the dedup _widen rationale)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(width)
     # the flag derives from the ALREADY-SELECTED signal columns (the same
     # thresholds as operators.text.is_repetitive, incl. the min-10-words
     # guard) — recomputing is_repetitive(text) here would evaluate the
-    # O(len²) top-bigram expression twice per row
+    # expensive top-bigram expression twice per row
     sel = docs.select(
         "source",
         F.size(words(F.col("text"))).alias("nw"),
