@@ -212,6 +212,10 @@ def run_replay(spark: SparkSession, sf_dir: str, fixture_dir: str,
     from under a live query."""
     write_replay_fixture(sf_dir, fixture_dir)
     ckpt = tempfile.mkdtemp(prefix="stream_eqv_ckpt_")
+    # (A replay-scoped narrower shuffle width was measured and REJECTED:
+    # fewer state-store commits did not beat the lost parallelism of the
+    # CPU-dense applyInPandasWithState stages — 13 s at the session's 32
+    # partitions vs 16-18 s pinned to 8/16 on this box.)
     handles = replay_streams(spark, fixture_dir, ckpt)
     stuck = []
     for surface, (q, _name) in handles.items():
