@@ -69,6 +69,10 @@ def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
     ].copy()
     df["is_feat"] = (t["event_type"] == "purchase").to_numpy()
     df["dup"] = False
+    # normalize to MICROsecond timestamps: a Spark-written source table can
+    # carry timestamp[ns], and pyarrow would faithfully write
+    # TIMESTAMP(NANOS) — which Spark's reader rejects as INT64 vs timestamp
+    df["event_time"] = df["event_time"].astype("datetime64[us]")
     df = df.sort_values(["event_time", "event_id"], kind="mergesort").reset_index(drop=True)
     n = len(df)
     cut1, cut2 = df["event_time"].iloc[n // 3], df["event_time"].iloc[2 * n // 3]
@@ -88,7 +92,7 @@ def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
     # rather than as an inscrutable equal_ok=false
     gaps_us = (df.sort_values(["entity", "event_time"], kind="mergesort")
                  .groupby("entity")["event_time"].diff().dropna()
-                 .astype("int64") // 1000)
+                 .astype("timedelta64[us]").astype("int64"))
     if (gaps_us == GAP_SECONDS * 1_000_000).any():
         raise AssertionError(
             "replay fixture contains a per-entity gap of exactly "
