@@ -1067,20 +1067,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection once so the gate scans + tokenizes the corpus a single time
     # (VERDICT r3 #2; the ann_ivf pattern).  A few MB at any gate scale.
     toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("__w")).persist()
-    found = simhash_pairs(toks, "text", "doc_id", max_hamming=6,
-                          words_col="__w").select("a", "b")
-    strong = ngram_jaccard_pairs(toks, "text", "doc_id", n=3, threshold=0.8,
-                                 words_col="__w").select("a", "b")
-    hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
-    # the count()==0 arm keeps recall vacuously TRUE on an empty strong set —
-    # sum() over zero rows is NULL and NULL >= 0 is NULL, which would
-    # hash-mismatch the oracle's pinned true
-    return hit.agg(
-        F.count(F.lit(1)).alias("n_strong_pairs"),
-        ((F.count(F.lit(1)) == 0)
-         | (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            >= F.count(F.lit(1)) * 0.85)).alias("recall_ok"),
-    )
+    try:
+        found = simhash_pairs(toks, "text", "doc_id", max_hamming=6,
+                              words_col="__w").select("a", "b")
+        strong = ngram_jaccard_pairs(toks, "text", "doc_id", n=3, threshold=0.8,
+                                     words_col="__w").select("a", "b")
+        hit = strong.join(found.withColumn("__hit", F.lit(1)), ["a", "b"], "left")
+        # the count()==0 arm keeps recall vacuously TRUE on an empty strong
+        # set — sum() over zero rows is NULL and NULL >= 0 is NULL, which
+        # would hash-mismatch the oracle's pinned true
+        out = hit.agg(
+            F.count(F.lit(1)).alias("n_strong_pairs"),
+            ((F.count(F.lit(1)) == 0)
+             | (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                >= F.count(F.lit(1)) * 0.85)).alias("recall_ok"),
+        )
+        # materialize while toks is cached, then release it — bench reps
+        # (3×, plus the engine-only variant) must not each pin another
+        # cached copy until LRU eviction (ADVICE r4); one row collects here
+        rows = out.collect()
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 ORACLE_DEDUP_SIMHASH = _DUCK_SHINGLES + """
@@ -1235,7 +1243,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (k-means cells + n_probe search) — the scale
     path for ANN.  Gate shape: per-query recall@10 vs the exact top-10,
     asserted ≥ 0.8 in-query; the oracle states every query passes, so the
-    approximate path must actually deliver the recall for the row to match."""
+    approximate path must actually deliver the recall for the row to match.
+
+    n_probe=12/16 (r5): the synthetic embeddings are angularly near-random
+    (rank-2+ exact neighbors sit at cos ≈ 0.3, barely above the background),
+    so recall tracks the probed corpus fraction — an honest IVF needs to
+    probe most cells here to clear 0.8.  The r4 gate appeared to clear it at
+    n_probe=4 only because the quantizer's id-ordered sample initialized
+    Lloyd from rows 0-15, which CONTAIN the five query vectors (vec_id<5) —
+    each query effectively got a personal centroid, leaking the queries into
+    the index.  The r5 hash-decorrelated sample + farthest-first init
+    (ADVICE r4, operators/similarity.py train_ivf_centroids) removes the
+    leak; measured per-query hits at n_probe=12 are [9,9,10,10,10] /
+    [10x5] / [8,8,9,9,10] at sf0.001/0.01/0.1 — deterministic, so the
+    sf0.1 minimum of exactly 8 repeats bit-for-bit.  On a clustered real
+    corpus the probe fraction drops with structure, as usual for IVF."""
     from feathr_online_spark.operators.similarity import knn_ivf
 
     # the gate intentionally runs THREE consumers over the corpus (IVF
@@ -1244,10 +1266,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it is a few MB at any gate scale, and the one legitimate verify-path
     # use of caching
     emb = _t(spark, sf_dir, "embeddings").persist()
-    queries = _queries_of(emb)
-    approx = knn_ivf(queries, emb, k=10, n_cells=16, n_probe=4)
-    exact = knn_bruteforce(queries, emb, k=10)
-    return _recall_vs_exact(approx, exact, min_hits=8)
+    try:
+        queries = _queries_of(emb)
+        approx = knn_ivf(queries, emb, k=10, n_cells=16, n_probe=12)
+        exact = knn_bruteforce(queries, emb, k=10)
+        out = _recall_vs_exact(approx, exact, min_hits=8)
+        # one row per query — materialize while cached, then release the
+        # cache so bench reps don't each pin a copy (ADVICE r4 pattern)
+        rows = out.collect()
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 ORACLE_ANN_RECALL = """
@@ -1834,10 +1863,15 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.similarity import knn_bruteforce_quantized
 
     emb = _t(spark, sf_dir, "embeddings").persist()
-    queries = _queries_of(emb)
-    approx = knn_bruteforce_quantized(queries, emb, k=10)
-    exact = knn_bruteforce(queries, emb, k=10)
-    return _recall_vs_exact(approx, exact, min_hits=8)
+    try:
+        queries = _queries_of(emb)
+        approx = knn_bruteforce_quantized(queries, emb, k=10)
+        exact = knn_bruteforce(queries, emb, k=10)
+        out = _recall_vs_exact(approx, exact, min_hits=8)
+        rows = out.collect()
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,7 +2006,12 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from feathr_online_spark.operators.similarity import knn_ivf
 
         emb = _t(spark, sf_dir, "embeddings").persist()
-        return knn_ivf(_queries_of(emb), emb, k=10, n_cells=16, n_probe=4)
+        try:
+            out = knn_ivf(_queries_of(emb), emb, k=10, n_cells=16, n_probe=12)
+            rows = out.collect()
+        finally:
+            emb.unpersist()
+        return spark.createDataFrame(rows, out.schema)
 
     def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         from feathr_online_spark.operators.similarity import knn_lsh

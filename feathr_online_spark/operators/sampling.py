@@ -62,7 +62,8 @@ def hash_in_fraction(on: Column | str, fraction: float, salt: str = "",
         return F.lit(False)
     key = _key_str(on, salt)
     if kind == "xxhash64":
-        # shift to [0, 2^63): Long.MIN_VALUE's abs overflows, pmod is exact
+        # pmod maps the signed 64-bit hash into [0, 2^30) exactly (abs()
+        # would overflow on Long.MIN_VALUE); 2^-30 fraction granularity
         bucket = F.pmod(F.xxhash64(key), F.lit(1 << 30))
         return bucket < F.lit(int(fraction * (1 << 30)))
     if kind == "md5":

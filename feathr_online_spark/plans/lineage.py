@@ -16,9 +16,10 @@ Checksum definition v2 (r4): BOTH forms hash ALL columns (the grouped form
 previously excluded the ``by`` column), so the two forms are comparable —
 XOR-folding grouped checksums equals XOR-folding task-partition checksums of
 the same data.  Metrics tables written under the v1 definition are NOT
-comparable to v2 checksums for the grouped form; treat the change as a
-metrics-schema migration (recompute or namespace old rows) when upgrading a
-long-lived metrics store."""
+comparable to v2 checksums for the grouped form; since r5 every emitted row
+carries a ``checksum_version`` column, so a long-lived metrics store can
+distinguish v1 rows (which predate the column — read absent as 1) from v2
+rows instead of relying on this migration note."""
 
 from __future__ import annotations
 
@@ -38,6 +39,7 @@ LINEAGE_SCHEMA = StructType(
         StructField("partition_id", LongType(), False),
         StructField("rows", LongType(), False),
         StructField("checksum", LongType(), False),
+        StructField("checksum_version", LongType(), False),
         StructField("wall_time_s", DoubleType(), False),
     ]
 )
@@ -65,6 +67,7 @@ def partition_lineage(df: DataFrame, by: str | None = None) -> DataFrame:
                 F.count(F.lit(1)).alias("rows"),
                 F.expr("bit_xor(__h)").alias("checksum"),
             )
+            .withColumn("checksum_version", F.lit(CHECKSUM_VERSION).cast("long"))
         )
     hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")).withColumn(
         "__pid", F.spark_partition_id().cast("long")
@@ -89,6 +92,7 @@ def partition_lineage(df: DataFrame, by: str | None = None) -> DataFrame:
                     "partition_id": [pid],
                     "rows": [n],
                     "checksum": [acc],
+                    "checksum_version": [CHECKSUM_VERSION],
                     "wall_time_s": [time.time() - t0],
                 }
             )

@@ -107,7 +107,8 @@ def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
-def _run_to_memory(out: DataFrame, mode: str, checkpoint_root: str) -> DataFrame:
+def _run_to_memory(out: DataFrame, mode: str, checkpoint_root: str):
+    """Start ``out`` into a fresh memory sink; returns ``(query, table_name)``."""
     name = f"stream_eqv_{next(_qname_counter)}"
     q = (
         out.writeStream.format("memory").queryName(name)
@@ -222,10 +223,22 @@ def run_replay(spark: SparkSession, sf_dir: str, fixture_dir: str,
     # partitions vs 16-18 s pinned to 8/16 on this box.)
     handles = replay_streams(spark, fixture_dir, ckpt)
     stuck = []
-    for surface, (q, _name) in handles.items():
-        if not q.awaitTermination(timeout_s):
-            stuck.append(surface)
-            q.stop()
+    try:
+        for surface, (q, _name) in handles.items():
+            if not q.awaitTermination(timeout_s):
+                stuck.append(surface)
+                q.stop()
+    except Exception:
+        # a query FAILING (StreamingQueryException) rather than hanging must
+        # not leak the other live queries, their memory-sink tables, or the
+        # checkpoint dir for the session lifetime (ADVICE r4)
+        for _surface, (q, _name) in handles.items():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        _cleanup_replay(spark, handles, ckpt)
+        raise
     if stuck:
         _cleanup_replay(spark, handles, ckpt)
         raise TimeoutError(

@@ -14,6 +14,10 @@ def test_partition_lineage_counts_and_stable_checksum(spark):
     lin = partition_lineage(df).collect()
     assert sum(r.rows for r in lin) == 10_000
     assert all(r.wall_time_s >= 0 for r in lin)
+    # every emitted row names the checksum definition that produced it, so a
+    # long-lived metrics store can tell v1 from v2 rows (ADVICE r4)
+    from feathr_online_spark.plans.lineage import CHECKSUM_VERSION
+    assert all(r.checksum_version == CHECKSUM_VERSION for r in lin)
     # global checksum (xor of per-partition checksums) must be independent of
     # partitioning — reshuffle and compare
     def global_sum(d):
