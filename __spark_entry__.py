@@ -1808,7 +1808,10 @@ FROM bp GROUP BY source
 
 
 _PII_FIXTURE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "pii_docs.parquet"
+    # v2: cards carry an exact Luhn check digit (valid iff doc_id%16==0);
+    # the name bump keeps a stale pre-Luhn cached fixture from poisoning
+    # the idempotent write
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "pii_docs_v2.parquet"
 )
 
 
@@ -1834,6 +1837,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.agg(
         F.sum(c["email"]).alias("n_email"),
         F.sum(c["cc"]).alias("n_cc"),
+        F.sum(c["cc_luhn_valid"]).alias("n_cc_luhn_valid"),
         F.sum(c["ssn"]).alias("n_ssn"),
         F.sum(c["phone"]).alias("n_phone"),
         F.sum(c["ipv4"]).alias("n_ipv4"),
@@ -1844,6 +1848,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PII_SCRUB = f"""
 SELECT CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS BIGINT) AS n_email,
        CAST(sum(len(regexp_extract_all(text, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b'))) AS BIGINT) AS n_cc,
+       CAST(sum(len(list_filter(regexp_extract_all(text, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b'),
+           m -> list_sum(list_transform(range(1, 17), i ->
+                    CASE WHEN (16 - i) % 2 = 1
+                         THEN 2 * CAST(substring(regexp_replace(m, '[^0-9]', '', 'g'), i, 1) AS INT)
+                              - CASE WHEN CAST(substring(regexp_replace(m, '[^0-9]', '', 'g'), i, 1) AS INT) > 4 THEN 9 ELSE 0 END
+                         ELSE CAST(substring(regexp_replace(m, '[^0-9]', '', 'g'), i, 1) AS INT) END)) % 10 = 0
+       ))) AS BIGINT) AS n_cc_luhn_valid,
        CAST(sum(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))) AS BIGINT) AS n_ssn,
        CAST(sum(len(regexp_extract_all(text, '\\(?\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}'))) AS BIGINT) AS n_phone,
        CAST(sum(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) AS BIGINT) AS n_ipv4,

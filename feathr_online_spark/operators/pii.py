@@ -43,13 +43,46 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def luhn_valid(num) -> Column:
+    """True iff the digits of ``num`` (separators ignored) pass the Luhn
+    checksum at a card-plausible length (12-19 digits).
+
+    Pure integer column arithmetic — ``aggregate`` over a digit-position
+    sequence, no UDF, no shuffle — and expressible in any engine with list
+    arithmetic (the DuckDB oracle recomputes it with
+    list_transform/list_sum), so the refinement stays cross-engine
+    checkable.  Rule: double every second digit counting from the RIGHT,
+    subtract 9 from a doubled digit above 9, total % 10 == 0."""
+    d = F.regexp_replace(_col(num).cast("string"), r"[^0-9]", "")
+    n = F.length(d)
+
+    def contrib(acc: Column, i: Column) -> Column:
+        v = d.substr(i, F.lit(1)).cast("int")
+        # 1-based from-right index r = n - i + 1; doubled iff r is even
+        doubled = (n - i) % 2 == 1
+        return acc + F.when(doubled, v * 2 - F.when(v > 4, F.lit(9)).otherwise(F.lit(0))).otherwise(v)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), contrib)
+    # the length guard also short-circuits the degenerate sequence(1, 0)
+    # a zero-digit input would produce (false & null = false)
+    return (n >= 12) & (n <= 19) & (total % 10 == 0)
+
+
 def pii_counts(text) -> dict[str, Column]:
-    """Per-kind match counts (longs) for corpus auditing."""
+    """Per-kind match counts (longs) for corpus auditing.  ``cc_luhn_valid``
+    refines ``cc``: of the card-shaped matches, how many pass the Luhn
+    checksum — the 4x4-digit regex alone matches any such digit pattern
+    (order ids, serials), and on real corpora the Luhn filter removes most
+    of those false positives."""
     t = _col(text)
-    return {
+    out = {
         kind: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
         for kind, pat in PII_PATTERNS.items()
     }
+    out["cc_luhn_valid"] = F.size(
+        F.filter(F.regexp_extract_all(t, F.lit(PII_PATTERNS["cc"]), 0), luhn_valid)
+    ).cast("long")
+    return out
 
 
 def scrub_pii(text, placeholder: str = "<{kind}>") -> Column:
@@ -83,11 +116,35 @@ _FILLER = ("the quick brown fox jumps over the lazy dog while data flows "
            "through the batch pipeline and features derive cleanly").split()
 
 
+def _luhn_total(digits: str) -> int:
+    total = 0
+    for r, ch in enumerate(reversed(digits), start=1):
+        v = int(ch)
+        if r % 2 == 0:
+            v = v * 2 - (9 if v > 4 else 0)
+        total += v
+    return total
+
+
+def _planted_card(i: int) -> str:
+    """16-digit card for doc i, Luhn-VALID iff i % 16 == 0: the 16th digit
+    is set to the exact Luhn check digit of the first 15 (or that +1 mod 10
+    to force invalidity) — so the fixture pins both sides of the
+    cc_luhn_valid refinement with exact expected counts."""
+    base = (f"{4000 + i % 1000:04d}{1111 + i % 8000:04d}"
+            f"{2222 + i % 7000:04d}{3330 + i % 6000 // 10:03d}")[:15]
+    check = (10 - _luhn_total(base + "0") % 10) % 10
+    last = check if i % 16 == 0 else (check + 1) % 10
+    d = base + str(last)
+    return f"{d[0:4]}-{d[4:8]}-{d[8:12]}-{d[12:16]}"
+
+
 def write_pii_fixture(path: str, n: int = 240) -> str:
     """Idempotent pyarrow write of ``n`` docs with deterministically planted
     PII: doc i gets an email iff i%3==0, a phone iff i%4==0, an IPv4 iff
-    i%5==0, an SSN iff i%6==0, a card iff i%8==0 — so expected counts are
-    exact integer functions of ``n`` and the gate's sums are predictable."""
+    i%5==0, an SSN iff i%6==0, a card iff i%8==0 (Luhn-valid iff i%16==0,
+    see ``_planted_card``) — so expected counts are exact integer functions
+    of ``n`` and the gate's sums are predictable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -106,8 +163,7 @@ def write_pii_fixture(path: str, n: int = 240) -> str:
         if i % 6 == 0:
             parts.append(f"ssn {100 + i % 900:03d}-{10 + i % 90:02d}-{1000 + i % 9000:04d} on file")
         if i % 8 == 0:
-            parts.append(f"card {4000 + i % 1000:04d}-{1111 + i % 8000:04d}-"
-                         f"{2222 + i % 7000:04d}-{3333 + i % 6000:04d} charged")
+            parts.append(f"card {_planted_card(i)} charged")
         rows.append({"doc_id": i, "text": " ".join(parts)})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
         [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]))

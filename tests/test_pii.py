@@ -4,11 +4,29 @@ completeness, placeholder form, cross-kind non-interference."""
 from pyspark.sql import functions as F
 
 from feathr_online_spark.operators.pii import (
+    luhn_valid,
     pii_counts,
     scrub_pii,
     with_pii_scrubbed,
     write_pii_fixture,
 )
+
+
+def test_luhn_valid_known_numbers(spark):
+    """Industry test numbers are Luhn-valid; a single-digit perturbation is
+    not; separators are ignored; non-card lengths are rejected."""
+    rows = [
+        (1, "4111-1111-1111-1111", True),    # classic Visa test number
+        (2, "4111 1111 1111 1112", False),   # check digit off by one
+        (3, "5500-0000-0000-0004", True),    # MC test number
+        (4, "378282246310005", True),        # Amex (15 digits, no separators)
+        (5, "1234", False),                  # too short
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, want boolean")
+    got = {r.id: r.ok for r in df.select("id", luhn_valid(F.col("s")).alias("ok")).collect()}
+    for rid, _s, want in rows:
+        assert got[rid] == want, (rid, _s, got[rid])
 
 
 def test_counts_and_scrub_golden(spark):
@@ -57,5 +75,8 @@ def test_fixture_expected_counts(spark, tmp_path):
     c = pii_counts(F.col("text"))
     r = df.agg(F.sum(c["email"]).alias("e"), F.sum(c["phone"]).alias("p"),
                F.sum(c["ipv4"]).alias("i"), F.sum(c["ssn"]).alias("s"),
-               F.sum(c["cc"]).alias("cc")).collect()[0]
-    assert (r.e, r.p, r.i, r.s, r.cc) == (120 // 3, 120 // 4, 120 // 5, 120 // 6, 120 // 8)
+               F.sum(c["cc"]).alias("cc"),
+               F.sum(c["cc_luhn_valid"]).alias("lv")).collect()[0]
+    # i ranges over [0, 120): multiples of k number ceil(120/k)
+    assert (r.e, r.p, r.i, r.s, r.cc, r.lv) == (
+        120 // 3, 120 // 4, 120 // 5, 120 // 6, 120 // 8, (120 + 15) // 16)
