@@ -1100,36 +1100,86 @@ WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """language-ID heuristic (stopword markers + CJK chars) → counts per lang."""
-    docs = _t(spark, sf_dir, "documents")
+    """language-ID heuristic (7 marker-word lists + 6 script ranges, r5)
+    → counts per predicted language.  The synthetic corpus is en/zh-only,
+    so the gate unions the planted multilingual fixture (3 docs for each
+    of the 13 languages) — the oracle recomputes every marker list and
+    script regex in DuckDB over the same union, pinning all paths."""
+    from feathr_online_spark.operators.text import write_lang_fixture
+
+    write_lang_fixture(_LANG_FIXTURE)
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("text")
+    fix = spark.read.parquet(_LANG_FIXTURE).select("text")
     return (
-        docs.select(lang_id("text").alias("lang_pred"))
+        docs.unionByName(fix)
+        .select(lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
 # marker lists must match operators.text.LANG_MARKERS
-ORACLE_LANG_ID = """
+# the lang-ID CTE chain (s → sc → g → p: tokens, 13 scores, max, argmax) is
+# shared VERBATIM (parameterized only by the doc source) by ORACLE_LANG_ID
+# and ORACLE_PREPARE_CORPUS so the two oracles cannot drift from each
+# other; it must mirror operators.text.LANG_MARKERS / SCRIPT_PATTERNS and
+# the sorted-code tie-break of lang_id
+def _duck_lang_ctes(src: str = "SELECT doc_id, text FROM documents") -> str:
+    return """
 WITH s AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws, text FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws, text FROM (""" + src + """)
 ), sc AS (
   SELECT doc_id,
     len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
     len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','von'], x))) AS s_de,
     len(list_filter(ws, x -> list_contains(['el','la','los','que','y','es','en','un','una','por'], x))) AS s_es,
     len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS s_fr,
-    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+    len(list_filter(ws, x -> list_contains(['il','che','di','non','per','con','una','sono','della','questo'], x))) AS s_it,
+    len(list_filter(ws, x -> list_contains(['que','de','não','uma','para','com','por','mais','como','mas'], x))) AS s_pt,
+    len(list_filter(ws, x -> list_contains(['het','een','van','niet','met','zijn','voor','maar','ook','naar'], x))) AS s_nl,
+    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh,
+    len(regexp_extract_all(text, '[ぁ-ヿ]')) AS s_ja,
+    len(regexp_extract_all(text, '[가-힣]')) AS s_ko,
+    len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS s_ru,
+    len(regexp_extract_all(text, '[؀-ۿ]')) AS s_ar,
+    len(regexp_extract_all(text, '[ऀ-ॿ]')) AS s_hi
   FROM s
+), g AS (
+  SELECT *, greatest(s_ar, s_de, s_en, s_es, s_fr, s_hi, s_it, s_ja, s_ko, s_nl, s_pt, s_ru, s_zh) AS mx FROM sc
 ), p AS (
-  SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
-              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+  -- tie-break mirrors the Spark rule exactly: first language in sorted
+  -- code order (ar de en es fr hi it ja ko nl pt ru zh) achieving the max
+  SELECT doc_id,
+         CASE WHEN mx = 0 THEN 'unknown'
+              WHEN s_ar = mx THEN 'ar'
+              WHEN s_de = mx THEN 'de'
+              WHEN s_en = mx THEN 'en'
+              WHEN s_es = mx THEN 'es'
+              WHEN s_fr = mx THEN 'fr'
+              WHEN s_hi = mx THEN 'hi'
+              WHEN s_it = mx THEN 'it'
+              WHEN s_ja = mx THEN 'ja'
+              WHEN s_ko = mx THEN 'ko'
+              WHEN s_nl = mx THEN 'nl'
+              WHEN s_pt = mx THEN 'pt'
+              WHEN s_ru = mx THEN 'ru'
               ELSE 'zh' END AS lang_pred
-  FROM sc
+  FROM g
+)"""
+
+
+_LANG_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "lang_docs.parquet"
 )
+
+# the corpus is en/zh-only, so the gate unions the planted multilingual
+# sample docs — every one of the 13 marker lists / script ranges gets a
+# cross-engine-pinned per-language count (doc_id offset keeps ids unique)
+ORACLE_LANG_ID = _duck_lang_ctes(
+    "SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + 100000000 AS doc_id, text FROM read_parquet('{_LANG_FIXTURE}')"
+) + """
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 """
 
@@ -1386,27 +1436,7 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "quality_bp")
 
 
-ORACLE_PREPARE_CORPUS = """
-WITH s AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws, text FROM documents
-), sc AS (
-  SELECT doc_id,
-    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','with','for','it'], x))) AS s_en,
-    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','von'], x))) AS s_de,
-    len(list_filter(ws, x -> list_contains(['el','la','los','que','y','es','en','un','una','por'], x))) AS s_es,
-    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS s_fr,
-    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
-  FROM s
-), p AS (
-  SELECT doc_id,
-         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
-              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-              ELSE 'zh' END AS lang_pred
-  FROM sc
-), q AS (
+ORACLE_PREPARE_CORPUS = _duck_lang_ctes() + """, q AS (
   SELECT doc_id, text,
          length(text)::BIGINT AS n_chars,
          len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_words,

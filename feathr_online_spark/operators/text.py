@@ -228,19 +228,41 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
     "es": ["el", "la", "los", "que", "y", "es", "en", "un", "una", "por"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    # r5 additions — marker words chosen to avoid bare one-letter tokens
+    # ('a', 'o', 'e') that would misfire on English prose
+    "it": ["il", "che", "di", "non", "per", "con", "una", "sono", "della", "questo"],
+    "pt": ["que", "de", "não", "uma", "para", "com", "por", "mais", "como", "mas"],
+    "nl": ["het", "een", "van", "niet", "met", "zijn", "voor", "maar", "ook", "naar"],
 }
 
-CJK_PATTERN = r"[一-鿿]"
+#: script-range signals (r5): one literal unicode character-class per
+#: script, counted per CHARACTER — the same regexp_extract_all shape as the
+#: original CJK rule, portable between the JDK engine and RE2/DuckDB.
+SCRIPT_PATTERNS: dict[str, str] = {
+    "zh": r"[一-鿿]",    # CJK unified ideographs U+4E00-9FFF
+    "ja": r"[ぁ-ヿ]",    # hiragana + katakana U+3041-30FF
+    "ko": r"[가-힣]",    # hangul syllables U+AC00-D7A3
+    "ru": r"[Ѐ-ӿ]",     # cyrillic U+0400-04FF
+    "ar": r"[؀-ۿ]",     # arabic U+0600-06FF
+    "hi": r"[ऀ-ॿ]",     # devanagari U+0900-097F
+}
+
+#: kept for callers/tests of the r2-r4 surface
+CJK_PATTERN = SCRIPT_PATTERNS["zh"]
 
 
 def lang_scores(text: ColumnOrName) -> dict[str, Column]:
-    """Per-language marker-hit counts; 'zh' scores CJK characters."""
+    """Per-language scores: marker-word hit counts for the Latin-script
+    languages, per-character script-range counts for zh/ja/ko/ru/ar/hi.
+    Everything is a pure Column (filter over the shared tokenization +
+    regexp_extract_all) — map-side, no shuffle, oracle-replicable."""
     w = words(text)
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array([F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(w, lambda x: F.array_contains(marker_arr, F.lower(x))))
-    out["zh"] = F.size(F.regexp_extract_all(_col(text), F.lit(CJK_PATTERN), 0))
+    for lang, pat in SCRIPT_PATTERNS.items():
+        out[lang] = F.size(F.regexp_extract_all(_col(text), F.lit(pat), 0))
     return out
 
 
@@ -255,6 +277,69 @@ def lang_id(text: ColumnOrName, default: str = "unknown") -> Column:
         expr = F.when(s > best, F.lit(lang)).otherwise(expr)
         best = F.greatest(best, s)
     return expr
+
+
+#: three deterministic sample sentences per language — the driver gate
+#: unions these with the (en/zh-only) synthetic corpus so EVERY marker list
+#: and script range is exercised cross-engine, not just the two the corpus
+#: happens to contain
+_LANG_SAMPLES: dict[str, list[str]] = {
+    "en": ["the cat and the dog sit in the garden for it is warm",
+           "this is the house that jack built with all of it",
+           "to be or not to be that is the question for the ages"],
+    "de": ["der hund ist nicht mit der katze und der maus im haus",
+           "das wetter ist heute schön und wir gehen zu dem park von hier",
+           "ein mann und eine frau sind mit dem zug von berlin gekommen"],
+    "es": ["el perro y la gata es en la casa por un dia entero",
+           "los niños que juegan en el parque son muy felices y ruidosos",
+           "es una historia que el pueblo cuenta por la noche"],
+    "fr": ["le chien est dans les jardins pour une promenade et le chat",
+           "la vie est belle et les gens sont heureux dans que pour",
+           "une baguette et un café dans le matin est que pour les parisiens"],
+    "it": ["il cane non è che un animale di casa per questo sono contento",
+           "la vita è bella e di questo non si può che essere felici con una risata",
+           "sono andato con il treno di roma per non perdere questo giorno"],
+    "pt": ["o cão não é mais que um animal de casa para quem gosta como eu mas",
+           "a vida é boa para quem sabe viver como se deve mas não mais que isso",
+           "de manhã como pão com café para começar mais um dia como sempre"],
+    "nl": ["het is een hond die niet met de kat wil spelen maar ook niet weg wil",
+           "een fiets is voor veel mensen niet alleen vervoer maar ook plezier naar huis",
+           "wij zijn met zijn allen naar het strand gegaan maar ook voor het eten"],
+    "zh": ["今天天气很好我们去公园散步", "他们在学校学习中文和数学", "这本书的内容非常有意思"],
+    "ja": ["きょうは天気がいいので公園へさんぽに行きます", "わたしはにほんごをべんきょうしています",
+           "このほんはとてもおもしろいです"],
+    "ko": ["오늘 날씨가 좋아서 우리는 공원에 갑니다", "저는 한국어를 공부하고 있습니다",
+           "이 책은 정말 재미있습니다"],
+    "ru": ["сегодня хорошая погода и мы идём гулять в парк", "я изучаю русский язык уже два года",
+           "эта книга очень интересная и полезная"],
+    "ar": ["الطقس جميل اليوم ونحن ذاهبون إلى الحديقة", "أنا أدرس اللغة العربية منذ سنتين",
+           "هذا الكتاب مفيد وممتع جدا"],
+    "hi": ["आज मौसम अच्छा है और हम पार्क जा रहे हैं", "मैं दो साल से हिंदी सीख रहा हूँ",
+           "यह किताब बहुत रोचक और उपयोगी है"],
+}
+
+
+def write_lang_fixture(path: str) -> str:
+    """Idempotent pyarrow write of the multilingual sample docs
+    (``_LANG_SAMPLES``): columns (doc_id, lang_true, text), doc_id dense in
+    sample order — deterministic, no randomness."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = []
+    for lang in sorted(_LANG_SAMPLES):
+        for s in _LANG_SAMPLES[lang]:
+            rows.append({"doc_id": len(rows), "lang_true": lang, "text": s})
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lang_true", pa.string()),
+         pa.field("text", pa.string())]))
+    pq.write_table(tbl, path)
+    return path
 
 
 # ---------------------------------------------------------------------------

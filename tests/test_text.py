@@ -41,10 +41,34 @@ def test_lang_id(spark):
         ("le chien est dans les jardins pour une promenade et le chat",),
         ("今天天气很好我们去公园散步",),
         ("zzz qqq xxx",),
+        # r5 marker languages
+        ("il cane non è che un animale di casa per questo sono contento",),
+        ("o cão não é mais que um animal de casa para quem gosta como eu mas",),
+        ("het is een hond die niet met de kat wil spelen maar ook niet weg wil",),
+        # r5 script-range languages
+        ("сегодня хорошая погода и мы идём гулять в парк",),
+        ("الطقس جميل اليوم ونحن ذاهبون إلى الحديقة",),
+        ("आज मौसम अच्छा है और हम पार्क जा रहे हैं",),
+        ("오늘 날씨가 좋아서 우리는 공원에 갑니다",),
+        ("きょうは天気がいいので公園へさんぽに行きます",),  # kana outweighs kanji
     ]
     df = spark.createDataFrame(rows, "t string")
     got = [r.l for r in df.select(lang_id("t").alias("l")).collect()]
-    assert got == ["en", "de", "es", "fr", "zh", "unknown"]
+    assert got == ["en", "de", "es", "fr", "zh", "unknown",
+                   "it", "pt", "nl", "ru", "ar", "hi", "ko", "ja"]
+
+
+def test_lang_fixture_classifies_as_planted(spark, tmp_path):
+    """Every planted multilingual sample doc must classify as its own
+    language — the property the extended lang_id gate relies on."""
+    from feathr_online_spark.operators.text import write_lang_fixture
+
+    p = str(tmp_path / "lang.parquet")
+    write_lang_fixture(p)
+    df = spark.read.parquet(p)
+    bad = df.select("lang_true", lang_id("text").alias("lang_pred")) \
+            .filter(F.col("lang_true") != F.col("lang_pred")).collect()
+    assert bad == [], bad
 
 
 def test_content_fingerprint_normalizes(spark):
