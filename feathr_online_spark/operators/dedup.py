@@ -381,6 +381,7 @@ def contamination_stats(
     id_col: str,
     n: int = 3,
     min_overlap: int = 2,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Per-train-document contamination against an eval corpus: the number of
     distinct word-n-gram shingles the document shares with ANY eval document
@@ -395,12 +396,16 @@ def contamination_stats(
     side probes it with a semi-join per exploded shingle; the shuffle carries
     only (doc id, shingle hash) pairs, and Catalyst/AQE broadcasts the eval
     set when it fits.  Never an all-pairs document comparison.
+
+    ``words_col``: pre-tokenized column on BOTH frames (see
+    with_shingle_hashes) so the train and eval legs can share one persisted
+    tokenization.
     """
-    tr = with_shingle_hashes(_widen(train), text_col, n).select(
+    tr = with_shingle_hashes(_widen(train), text_col, n, words_col=words_col).select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("n_shingles")
     )
     ev_sh = (
-        with_shingle_hashes(evalset, text_col, n)
+        with_shingle_hashes(evalset, text_col, n, words_col=words_col)
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
