@@ -54,6 +54,25 @@ EN_STOPWORDS = [
     "for", "on", "with", "as", "by", "at", "it", "that", "this", "be",
 ]
 
+#: alnum + the six ``\s`` whitespace chars — the complement of the punct class
+_ALNUM_WS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+             " \t\n\x0b\x0c\r")
+
+
+def _punct_count(t: Column) -> Column:
+    """Count of punctuation chars (``[^A-Za-z0-9\\s]``), computed by DELETING
+    the complement via ``translate`` and measuring what is left.
+
+    Why not ``regexp_count(t, '[^A-Za-z0-9\\s]')``: the JDK regex engine
+    takes a slow path on NEGATED character classes — measured 2.4 s vs
+    0.17 s for this translate form over the 10x corpus (tools/sf1_evidence
+    attribution, r5); positive classes like ``[0-9]`` are fast.  The DuckDB
+    oracles keep the regex form (RE2 has no such cliff) and values match.
+    Caveat: for non-BMP code points ``length`` counts UTF-16 units, so an
+    astral punctuation char counts 2 here vs 1 under the regex — irrelevant
+    for the corpus-audit heuristic and absent from the test corpora."""
+    return F.length(F.translate(t, _ALNUM_WS, ""))
+
 
 def quality_features(text: ColumnOrName) -> dict[str, Column]:
     """Raw quality signals: char/word counts, mean word length, punctuation
@@ -64,7 +83,7 @@ def quality_features(text: ColumnOrName) -> dict[str, Column]:
     n_words = F.size(w)
     stop = F.array([F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x))))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = _punct_count(t)
     n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
     # mean word length over the TRIMMED text (words() trims; untrimmed
     # n_chars would credit padding whitespace to the words).  Assumes
@@ -103,7 +122,7 @@ def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
     n_words = F.size(w).cast("long")
     stop = F.array([F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x)))).cast("long")
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("long")
+    n_punct = _punct_count(t).cast("long")
     n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("long")
     return {
         "n_chars": n_chars,
@@ -121,6 +140,17 @@ def _word_ngrams(word_arr: Column, n: int) -> Column:
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i + 1, n)))
     return F.when(F.size(word_arr) >= n, grams).otherwise(
         F.array().cast("array<string>"))
+
+
+# Rewrites of the n-gram legs over 64-bit gram hashes were measured and
+# REJECTED (r5 outlier attribution): higher-order array expressions
+# (transform/aggregate/filter) are evaluated INTERPRETED in Spark — not
+# whole-stage-codegen'd — so per-element cost dominates regardless of the
+# element type, and an xxhash64-of-elements lambda was 4.5× SLOWER than the
+# concat_ws string form (26.3 vs 5.8 s over the 10× corpus), with
+# hash-after-concat exactly neutral (5.7 s).  The signals are linear in
+# tokens; the scale lever is parallelism (see q_text_repetition's widen),
+# not the element representation.
 
 
 def repetition_signals_bp(text: ColumnOrName) -> dict[str, Column]:
