@@ -184,6 +184,30 @@ def main() -> None:
         lines.append(f"| {name} | {s01} | {s1} | {ratio}× |")
     lines += [
         "",
+        "## Attribution of the r4 ratio outliers (measured r5, kept across regens)",
+        "",
+        "The three gates the r4 table flagged >5× were re-measured on r5 code",
+        "with dedicated protocols (VERDICT r4 #3); none is a plan defect:",
+        "",
+        "- **text_quality** (was 5.6×): a JDK regex-engine cliff — the negated",
+        "  punct class `[^A-Za-z0-9\\s]` cost 2.4 s alone over the 10× corpus",
+        "  vs 0.12 s for `[0-9]`.  FIXED via translate-delete",
+        "  (operators/text.py `_punct_count`); min-of-5 re-measure: 0.29 →",
+        "  0.38 s = **1.3×**.",
+        "- **text_repetition** (8.0×): min-of-5 re-measure 1.16 → 9.29 s at",
+        "  full 32-way width both scales — the F+10L decomposition gives",
+        "  L=0.90 s data-proportional vs F=0.26 s fixed at sf0.1, i.e. the",
+        "  ratio is exactly what LINEAR token cost looks like when the small",
+        "  scale is not overhead-dominated.  A hashed-n-gram rewrite was",
+        "  measured 4.5× WORSE (higher-order array exprs run interpreted;",
+        "  rejection pinned in operators/text.py).",
+        "- **stream_equiv** (8.8×): min-of-2 on r5 code: full 16.1 → 80.9 s",
+        "  (**5.0×**); engine-only (no verify legs) 9.6 → 42.2 s (**4.4×**).",
+        "  Engine decomposition: F≈6.0 s fixed per-trigger/state-commit cost",
+        "  (4 micro-batches × 5 stateful queries) vs L≈3.6 s data-",
+        "  proportional at sf0.1 — the fixed cost amortizes at 10×, so the",
+        "  gate is harness-dominated at small scale, linear in data beyond.",
+        "",
         "## North-rule job (strict as-of + windowed derivations)",
         "",
         "| n_seq | output rows | best sec | rows/sec |",
