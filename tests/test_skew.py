@@ -207,6 +207,60 @@ def test_rolling_bucketed_sparse_bucket_guard(spark):
     assert ok == plain_dense
 
 
+def test_rolling_bucketed_fallback_randomized(spark):
+    """Randomized sparse timelines: with tiny buckets many (entity, bucket)
+    groups hold fewer rows than the frame needs, so the r4 code silently
+    truncated.  The default fallback must equal the plain window on every
+    seed, and raise-mode must raise exactly when the sparse condition
+    exists (computed independently in python)."""
+    import pytest
+
+    from feathr_online_spark.operators.skew import rolling_bucketed
+    from feathr_online_spark.operators.windows import rolling
+
+    for seed in (5, 23, 71):
+        rng = np.random.default_rng(seed)
+        n = 600
+        ents = rng.integers(0, 6, n)
+        secs = rng.choice(6 * 3600, size=n, replace=False)  # tie-free
+        data = [
+            (int(e), BASE + timedelta(seconds=int(s)), i, float(i % 53))
+            for i, (e, s) in enumerate(zip(ents, secs))
+        ]
+        df = spark.createDataFrame(
+            data, "entity long, event_time timestamp, eid long, v double")
+        aggs = {"s": ("v", "sum"), "c": ("v", "count")}
+        rows_frame, bucket = 4, 900  # 15-min buckets → sparse groups abound
+        plain = {r.eid: (r.s, r.c)
+                 for r in rolling(df, aggs, rows=rows_frame).collect()}
+        fb = {r.eid: (r.s, r.c)
+              for r in rolling_bucketed(df, aggs, rows=rows_frame,
+                                        bucket_seconds=bucket).collect()}
+        assert fb == plain, f"seed {seed}"
+
+        # independent python detection of the sparse condition
+        from collections import defaultdict
+        per = defaultdict(list)
+        for e, ts, _i, _v in data:
+            per[e].append(int((ts.timestamp()) // bucket))
+        need = rows_frame - 1  # include_current=True default
+        sparse_exists = False
+        for e, bkts in per.items():
+            order = sorted(set(bkts))
+            from collections import Counter
+            cnt = Counter(bkts)
+            for j, b in enumerate(order):
+                if j > 0 and j < len(order) - 1 and cnt[b] < need:
+                    sparse_exists = True
+        if sparse_exists:
+            with pytest.raises(ValueError):
+                rolling_bucketed(df, aggs, rows=rows_frame,
+                                 bucket_seconds=bucket, on_sparse="raise")
+        else:
+            rolling_bucketed(df, aggs, rows=rows_frame,
+                             bucket_seconds=bucket, on_sparse="raise")
+
+
 def test_bucketed_ops_keep_null_ts_and_null_entity_rows(spark):
     """Round-3 review: a null timestamp made the bucket key null and a null
     entity broke the repair joins' SQL equality — both silently DROPPED rows
