@@ -1048,18 +1048,21 @@ FROM documents GROUP BY source
 # oracle re-derives tokens from text either way).  The single pinned frame
 # is a few MB at gate scales and is the deliberate exception to the
 # unpersist-after-gate rule (ADVICE r4), documented here.
-_TOKS_CACHE: dict[str, DataFrame] = {}
+_TOKS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.text import words
 
-    df = _TOKS_CACHE.get(sf_dir)
+    # keyed by (application, sf_dir): a driver that builds a FRESH session
+    # per query must not be handed a frame pinned to a stopped session
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOKS_CACHE.get(key)
     if df is None:
         docs = _t(spark, sf_dir, "documents")
         df = docs.select("doc_id", "source", "text",
                          words(F.lower(F.col("text"))).alias("__w")).persist()
-        _TOKS_CACHE[sf_dir] = df
+        _TOKS_CACHE[key] = df
     return df
 
 
