@@ -41,7 +41,13 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def token_count_bpe(text: ColumnOrName) -> Column:
-    """Count of BPE-ish pre-tokens (letter/digit/punct runs)."""
+    """Count of BPE-ish pre-tokens (letter/digit/punct runs).
+
+    Perf note: the pattern's negated class hits the same JDK regex slow
+    path measured in ``_punct_count`` (~1 µs/char); unlike the punct
+    COUNT, run-splitting genuinely needs the regex, so budget this as the
+    most expensive of the token counters at corpus scale (still linear,
+    map-side)."""
     return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN), 0))
 
 
