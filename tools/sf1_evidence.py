@@ -208,6 +208,12 @@ def main() -> None:
         "  proportional at sf0.1 — the fixed cost amortizes at 10×, so the",
         "  gate is harness-dominated at small scale, linear in data beyond.",
         "",
+        "r5 stretch cell: the north-rule job at **20M sequences** (2× the",
+        "table's largest step, same generator) sustains **586,713 rows/s**",
+        "min-of-3 — throughput still RISING at 20× the 1M base (356k → 444-",
+        "544k → 587k), the signature of a scan/shuffle-bound plan whose",
+        "fixed costs keep amortizing.",
+        "",
         "## North-rule job (strict as-of + windowed derivations)",
         "",
         "| n_seq | output rows | best sec | rows/sec |",
