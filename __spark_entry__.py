@@ -466,10 +466,16 @@ FROM t
 
 def q_json_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # two-stage select: k_str is referenced twice (string + cast) — in its
+    # own projection CollapseProject declines to inline it (non-cheap,
+    # multi-referenced), so the '$.k' JSON parse runs once per row, not twice
     return ev.select(
+        "event_id", "props", "event_type",
+        F.get_json_object("props", "$.k").alias("__k"),
+    ).select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.col("__k").alias("k_str"),
+        F.col("__k").cast("long").alias("k_num"),
         F.get_json_object("props", "$.missing").alias("k_missing"),
         F.array_join(F.json_object_keys("props"), ",").alias("keys"),
         F.regexp_extract("event_type", "^(.)", 1).alias("first_ch"),
@@ -1782,21 +1788,40 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feathr_online_spark.operators.text import repetition_signals_bp, words
 
     docs = _t(spark, sf_dir, "documents")
-    s = repetition_signals_bp(F.col("text"))
     # widen: the corpus arrives as ONE scan partition locally and the
     # signals are CPU-dense, byte-light (the dedup _widen rationale)
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = docs.repartition(width)
+    docs = docs.select("source", "text").repartition(width)
+
+    # let-binding via transform-over-singleton (r6): the token array is a
+    # lambda variable, so all four signals read ONE tokenization — as
+    # separate select entries each would re-run words(text) (interpreted
+    # HOFs, no cross-root CSE).  The struct lands in its own projection and
+    # is referenced 4× above it, which CollapseProject declines to inline
+    # (non-cheap, multi-referenced) — one evaluation per row end to end.
+    def _sig_struct(wv):
+        s = repetition_signals_bp(None, words_arr=wv)
+        return F.struct(
+            F.size(wv).alias("nw"),
+            s["dup_word_bp"].alias("dw"),
+            s["top2_bp"].alias("t2"),
+            s["dup5_bp"].alias("d5"),
+        )
+
+    bound = docs.select(
+        "source",
+        F.element_at(F.transform(F.array(words(F.col("text"))), _sig_struct), 1).alias("__S"),
+    )
     # the flag derives from the ALREADY-SELECTED signal columns (the same
     # thresholds as operators.text.is_repetitive, incl. the min-10-words
     # guard) — recomputing is_repetitive(text) here would evaluate the
     # expensive top-bigram expression twice per row
-    sel = docs.select(
+    sel = bound.select(
         "source",
-        F.size(words(F.col("text"))).alias("nw"),
-        s["dup_word_bp"].alias("dw"),
-        s["top2_bp"].alias("t2"),
-        s["dup5_bp"].alias("d5"),
+        F.col("__S.nw").alias("nw"),
+        F.col("__S.dw").alias("dw"),
+        F.col("__S.t2").alias("t2"),
+        F.col("__S.d5").alias("d5"),
     )
     rep = (((F.col("dw") > 5000) | (F.col("t2") > 2000) | (F.col("d5") > 3000))
            & (F.col("nw") >= 10))

@@ -123,14 +123,28 @@ def ngram_jaccard_pairs(
     ~30× faster than verify-by-array-intersection at sf0.1 and the only shape
     that scales: per-pair state is one counter.
 
-    ``max_df`` drops stop-shingles (df > cap) before the self-join — a hot
-    shingle contributes O(df²) join rows.  With a cap the computed ``inter``
-    undercounts pairs whose overlap includes capped shingles (jaccard is then
-    a lower bound; recall at the threshold requires the pair to share enough
-    rare shingles — at web scale this is the standard trade; default cap is
-    effectively off for test-sized corpora).
+    ``max_df`` drops stop-shingles (df > cap) before pair expansion — a hot
+    shingle contributes O(df²) candidate rows.  With a cap the computed
+    ``inter`` undercounts pairs whose overlap includes capped shingles
+    (jaccard is then a lower bound; recall at the threshold requires the pair
+    to share enough rare shingles — at web scale this is the standard trade;
+    default cap is effectively off for test-sized corpora).
+
+    r6 note: the only change vs r5 is pre-projecting the input to
+    (id, tokens) before the widening repartition, so document text never
+    rides that exchange (−15% measured).  Two tempting "improvements" were
+    measured and REJECTED on the 50k-doc corpus (same-JVM A/B, min-of-2):
+    carrying (sza, szb) through the self-join to kill the post-aggregation
+    size joins widens the ~10⁸-row pair exchange from 16 to 32 bytes/row —
+    24 → 68 s; and replacing the self-join with a per-shingle collect_list
+    + array-expression pair expansion moves the bucket cross product from
+    codegen'd join machinery into interpreted HOF eval, which is quadratic
+    per HOT shingle (a boilerplate 3-gram shared by thousands of docs) and
+    took minutes.  The self-join does NOT re-run the shingling: both sides
+    read one ReusedExchange of the same repartition.
     """
-    sh = with_shingle_hashes(_widen(df), text_col, n, words_col=words_col).select(
+    keep = [id_col, words_col or text_col]
+    sh = with_shingle_hashes(_widen(df.select(*keep)), text_col, n, words_col=words_col).select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sz")
     )
     inv = sh.select("id", F.explode("shingles").alias("s")).repartition("s")
@@ -162,11 +176,16 @@ def ngram_jaccard_pairs(
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Join shingle sets onto candidate (a, b) pairs and keep jaccard ≥ t."""
+    """Join shingle sets onto candidate (a, b) pairs and keep jaccard ≥ t.
+
+    The candidate set is tiny relative to the corpus — broadcast it (and the
+    first join's result) so both attach joins stream the shingle table
+    map-side instead of shuffling it twice."""
     a_sets = sh.select(F.col("id").alias("a"), F.col("shingles").alias("__sa"))
     b_sets = sh.select(F.col("id").alias("b"), F.col("shingles").alias("__sb"))
+    j = F.broadcast(cand).join(a_sets, "a")
     j = (
-        cand.join(a_sets, "a").join(b_sets, "b")
+        F.broadcast(j).join(b_sets, "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -259,10 +278,11 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sh = with_shingle_hashes(_widen(df), text_col, n, words_col=words_col).select(F.col(id_col).alias("id"), "shingles").filter(
-        F.size("shingles") > 0
-    )
-    sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), k).alias("sig"))
+    keep = [id_col, words_col or text_col]
+    sh = with_shingle_hashes(_widen(df.select(*keep)), text_col, n, words_col=words_col).select(
+        F.col(id_col).alias("id"), "shingles"
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select("id", minhash_signature(F.col("shingles"), k).alias("sig"))
     # one row per (doc, band): bucket key = xxhash64 of the band's slice
     bucketed = sig.select(
         "id",
@@ -278,6 +298,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # bucket SELF-join: both sides read ONE ReusedExchange of the bucketed
+    # rows (the k-permutation signature pass is not duplicated), and the
+    # cross product per bucket runs inside codegen'd join machinery — an
+    # interpreted posting-list expansion was tried and loses badly on hot
+    # buckets
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = bucketed.repartition(width, "band", "bucket")
     cand = (
         bucketed.alias("x")
         .join(
@@ -318,9 +345,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     deterministically); only the final labels stay cached briefly and are
     dropped before returning.
     """
+    # both edge directions from ONE evaluation of the (potentially expensive)
+    # pairs lineage: the old two-branch union re-ran the full pair detection
+    # twice before the persist (measured: dedup_clusters ≈ 2× dedup_ngram at
+    # sf1.0 for exactly this reason)
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -335,17 +369,21 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             # label frame is derived from edges, so lineage would collide)
             nbr = edges.join(labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")), "dst")
             neighbor_min = nbr.groupBy(F.col("src").alias("node")).agg(F.min("dlbl").alias("nlbl"))
+            # the change flag rides the label frame — no extra join against
+            # the previous round to detect convergence
             new_labels = (
                 labels.join(neighbor_min, "node", "left")
-                .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+                .select("node",
+                        F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                        (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias("__chg"))
                 .persist()
             )
-            changed = (
-                new_labels.withColumnRenamed("lbl", "newlbl")
-                .join(labels, "node")
-                .filter(F.col("newlbl") != F.col("lbl"))
-                .limit(1).count()   # materializes new_labels into cache
-            )
+            # full-scan aggregate (not limit(1)): guarantees EVERY partition
+            # of new_labels lands in the cache in one job — a short-circuit
+            # limit would leave uncached partitions whose lineage re-runs
+            # the whole prior round after its unpersist
+            changed = new_labels.agg(
+                F.sum(F.col("__chg").cast("int")).alias("n")).collect()[0][0] or 0
             labels.unpersist()      # release the superseded round's blocks
             labels = new_labels
             if changed == 0:
@@ -401,16 +439,20 @@ def contamination_stats(
     with_shingle_hashes) so the train and eval legs can share one persisted
     tokenization.
     """
-    tr = with_shingle_hashes(_widen(train), text_col, n, words_col=words_col).select(
+    keep = [id_col, words_col or text_col]
+    tr = with_shingle_hashes(_widen(train.select(*keep)), text_col, n, words_col=words_col).select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("n_shingles")
     )
     ev_sh = (
-        with_shingle_hashes(evalset, text_col, n, words_col=words_col)
+        with_shingle_hashes(evalset.select(*keep), text_col, n, words_col=words_col)
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
     probes = tr.select("id", F.explode("shingles").alias("s"))
-    hits = probes.join(ev_sh, "s", "left_semi").groupBy("id").agg(
+    # broadcast hint: the distinct eval shingle set is 8 bytes/shingle and
+    # eval corpora are small by definition — a map-side semi-join probe
+    # instead of shuffling every (id, shingle) of the train side
+    hits = probes.join(F.broadcast(ev_sh), "s", "left_semi").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_contaminated")
     )
     return (
@@ -449,7 +491,8 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     (single shuffle of (id, word-hash)).  ``words_col``: pre-tokenized
     array<string> column to use instead of tokenizing ``text_col``."""
     base = F.col(words_col) if words_col else words(F.lower(F.col(text_col)))
-    w = _widen(df).select(F.col(id_col).alias("id"), F.explode(base).alias("w"))
+    keep = [id_col, words_col or text_col]
+    w = _widen(df.select(*keep)).select(F.col(id_col).alias("id"), F.explode(base).alias("w"))
     h = w.select("id", F.xxhash64("w").alias("h"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
@@ -489,6 +532,13 @@ def simhash_pairs(
     chunks = sh.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    # chunk SELF-join: both sides read ONE ReusedExchange of the chunk rows
+    # (the simhash aggregation — the dominant cost — is not duplicated), and
+    # the per-bucket cross product stays in codegen'd join machinery — an
+    # interpreted posting-list expansion was tried and loses badly on hot
+    # chunk keys
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    chunks = chunks.repartition(width, "chunk", "key")
     cand = (
         chunks.alias("x")
         .join(

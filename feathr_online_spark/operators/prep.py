@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feathr_online_spark.operators.dedup import decontaminate, dedup_survivors, exact_dedup
+from feathr_online_spark.operators.dedup import decontaminate, dedup_survivors
 from feathr_online_spark.operators.text import lang_id, quality_score_bp
 
 
@@ -34,15 +34,28 @@ def prepare_corpus(
     Stage order is deliberate: map-side predicates (language, quality) first,
     exact dedup second (shuffle only the keep-set's fingerprints), then the
     optional near-dup survivor anti-join and eval-set decontamination.
-    """
-    annotated = df.withColumns({
-        "lang_pred": lang_id(F.col(text_col)),
-        "quality_bp": quality_score_bp(text_col),
-    })
-    kept = annotated.filter(
-        F.col("lang_pred").isin(*langs) & (F.col("quality_bp") >= min_quality_bp)
+
+    r6 shape — decide on small rows, annotate survivors only: the decision
+    pass computes (id, lang, quality, fingerprint) once over the corpus,
+    shuffles only (fingerprint, id) to pick the min-id survivor per content
+    group, and the surviving ids semi-join back onto the RAW rows, whose
+    (lang_pred, quality_bp) annotations are then recomputed for the
+    survivor set alone (deterministic functions of text — identical
+    values).  The r5 composition annotated the full corpus TWICE: the
+    exact-dedup semi-join's fingerprint leg and its output leg each
+    re-evaluated lang_id + quality over every row (~2× the map-side cost,
+    measured ~half the gate wall at sf1.0)."""
+    from feathr_online_spark.operators.text import content_fingerprint
+
+    ann = {"lang_pred": lang_id(F.col(text_col)), "quality_bp": quality_score_bp(text_col)}
+    pred = F.col("lang_pred").isin(*langs) & (F.col("quality_bp") >= min_quality_bp)
+    decide = (
+        df.select(F.col(id_col), *[e.alias(n) for n, e in ann.items()],
+                  content_fingerprint(F.col(text_col)).alias("__fp"))
+        .filter(pred)
     )
-    kept = exact_dedup(kept, text_col, id_col)
+    keep = decide.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    kept = df.join(keep, id_col, "left_semi").withColumns(ann)
     if near_dup_pairs is not None:
         kept = dedup_survivors(kept, near_dup_pairs, id_col)
     if evalset is not None:

@@ -340,24 +340,101 @@ def embedding_topk_pairs(
     k: int = 20,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Global top-k most-similar (a, b) corpus pairs by cosine — the
-    embedding near-dup report.  Vectors are unit-normalized map-side (pair
-    scoring = dot product), the self-join is explicitly widened (the corpus
-    is byte-small but the pair space is CPU-huge — AQE's byte-based
-    coalescing must not serialize it).  The global top-k is
-    ``orderBy().limit(k)`` — Catalyst plans TakeOrderedAndProject (per-
-    partition k-heaps + a driver merge of k·P rows), NOT a single-task sort
-    of all n²/2 pairs the way a global row_number window would.  For 100 TB
-    corpora swap the self-join for the LSH bucketing above; this exact
-    variant is the oracle."""
+    embedding near-dup report (exact).
+
+    Blocked matrix form (r6): the corpus is hashed into B blocks and every
+    unordered block pair (bi ≤ bj) becomes ONE task that computes its
+    |bi|×|bj| dot-product matrix with BLAS (numpy float64) and emits only
+    its local top-k candidates; the global top-k is a Spark
+    ``orderBy().limit(k)`` over ≤ k·B(B+1)/2 candidate rows
+    (TakeOrderedAndProject).  This replaces the r5 self-join whose per-pair
+    zip_with/aggregate dot was evaluated INTERPRETED (higher-order
+    functions are CodegenFallback) — measured 70 s → ~2 s on a 20 k-vector
+    corpus at local[32].
+
+    Scale shape: each vector is shuffled B+1 times (B ≈ √(2·parallelism)),
+    so shuffle volume is O(N·√P) vector rows, never the N² pair space; the
+    N² arithmetic happens inside BLAS at hardware speed.  Per-task memory
+    is two blocks + one |bi|×|bj| float64 matrix — bound B so blocks stay
+    ~10-50 k vectors at target scale.  For 100 TB corpora still prefer the
+    LSH bucketing above; this exact variant is the oracle.
+
+    Determinism: candidate selection inside a task orders by
+    (round(dot, 6) DESC, a ASC, b ASC) — the same ordering the final Spark
+    sort applies — so the survivors are exactly the global top-k."""
+    import pandas as pd
+
     width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    unit = corpus.select(F.col(c_id).alias("a"), normalized(F.col(c_vec)).alias("__va"))
-    a = unit.repartition(width)
-    b = unit.select(F.col("a").alias("b"), F.col("__va").alias("__vb"))
-    pairs = a.join(b, F.col("a") < F.col("b")).select(
-        "a", "b", F.round(_dot(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
+    if n_blocks is None:
+        # B(B+1)/2 group-tasks ≈ 2-4× the shuffle width keeps every core busy
+        # without replicating vectors more than ~B+1 times
+        n_blocks = max(2, int(round((4 * width) ** 0.5)))
+    B = n_blocks
+
+    base = corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("v"),
+                         F.pmod(F.xxhash64(F.col(c_id)), F.lit(B)).cast("int").alias("blk"))
+    # side 0 = the block-row of the pair, side 1 = the block-column; the
+    # diagonal group (bi == bj) receives the same block on both sides
+    left = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit(0).alias("side"), "id", "v",
     )
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"), "id", "v",
+    )
+    tagged = left.unionByName(right)
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "dot": pd.Series(dtype="float64")})
+        lp = pdf[pdf["side"] == 0]
+        if lp.empty:
+            return empty
+        li = lp["id"].to_numpy(dtype=np.int64)
+        lx = np.stack(lp["v"].to_numpy()).astype(np.float64)
+        lx /= np.linalg.norm(lx, axis=1, keepdims=True)
+        if pdf["bi"].iat[0] == pdf["bj"].iat[0]:
+            # diagonal block: pairs within one block — strict upper triangle
+            # over id-sorted rows gives each unordered pair once with a < b
+            order = np.argsort(li, kind="stable")
+            li, lx = li[order], lx[order]
+            m = lx @ lx.T
+            iu, ju = np.triu_indices(len(li), 1)
+            a, b, d = li[iu], li[ju], m[iu, ju]
+        else:
+            rp = pdf[pdf["side"] == 1]
+            if rp.empty:
+                return empty
+            ri = rp["id"].to_numpy(dtype=np.int64)
+            rx = np.stack(rp["v"].to_numpy()).astype(np.float64)
+            rx /= np.linalg.norm(rx, axis=1, keepdims=True)
+            m = lx @ rx.T
+            ai = np.broadcast_to(li[:, None], m.shape).ravel()
+            bi_ = np.broadcast_to(ri[None, :], m.shape).ravel()
+            d = m.ravel()
+            a = np.minimum(ai, bi_)   # blocks are disjoint id sets: a < b
+            b = np.maximum(ai, bi_)
+        if len(d) > k:
+            # order = (round6 DESC, a ASC, b ASC) — NaN (zero-norm vector)
+            # sorts FIRST to match Spark's NaN-greatest descending order
+            key = np.round(d, 6)
+            key = np.where(np.isnan(key), np.inf, key)
+            idx = np.lexsort((b, a, -key))[:k]
+            a, b, d = a[idx], b[idx], d[idx]
+        return pd.DataFrame({"a": a, "b": b, "dot": d})
+
+    cand = tagged.groupBy("bi", "bj").applyInPandas(
+        topk_block, schema="a long, b long, dot double")
+    pairs = cand.select("a", "b", F.round("dot", 6).alias("cos_sim"))
     return pairs.orderBy(F.col("cos_sim").desc(), F.col("a"), F.col("b")).limit(k)
 
 

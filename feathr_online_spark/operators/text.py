@@ -25,8 +25,17 @@ def _col(c: ColumnOrName) -> Column:
 def words(text: ColumnOrName) -> Column:
     """Whitespace tokenization (collapses runs).  Empty/whitespace-only text
     yields an EMPTY array — `split('')` returns [''] which would count as one
-    token and let empty documents through quality filters."""
-    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda x: x != "")
+    token and let empty documents through quality filters.
+
+    r6 form: after ``trim``, ``split('\\s+')`` can only produce an empty
+    token for the empty string (leading runs are trimmed, trailing empties
+    are dropped by JDK split, interior runs collapse), so the empty-text
+    case is ONE length check instead of a per-token higher-order filter
+    pass — identical output, one fewer interpreted traversal everywhere
+    tokenization appears."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+"))
 
 
 def token_count_ws(text: ColumnOrName) -> Column:
@@ -116,26 +125,53 @@ def quality_score(text: ColumnOrName) -> Column:
     return F.round((len_score * 0.4 + stop_score * 0.3 + noise_pen * 0.3), 4)
 
 
+def _digit_count(t: Column) -> Column:
+    """Digit-char count by translate-deletion (the ``_punct_count`` trick):
+    ``length(t) - length(t with digits deleted)`` — no regex, no match-array
+    materialization; values identical to ``regexp_extract_all(t, '[0-9]')``."""
+    return F.length(t) - F.length(F.translate(t, "0123456789", ""))
+
+
+def _wc_stop_agg(w: Column, finish) -> Column:
+    """ONE traversal of the token array computing (token count, stopword
+    count) in a struct accumulator, reduced by ``finish(acc)`` — the
+    single-pass replacement for separate size(w)/size(filter(w)) legs whose
+    each reference re-tokenized the text (HOFs are interpreted; Catalyst
+    does not CSE across expression roots)."""
+    stop = F.array([F.lit(s) for s in EN_STOPWORDS])
+    init = F.struct(F.lit(0).cast("long").alias("n"), F.lit(0).cast("long").alias("s"))
+
+    def step(acc, x):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["s"] + F.array_contains(stop, F.lower(x)).cast("long")).alias("s"),
+        )
+
+    return F.aggregate(w, init, step, finish)
+
+
 def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
     """Engine-portable integer variant: ratios in basis points (1/10000) via
     exact integer arithmetic — ``floor(a*10000 / b)`` with operands < 2^53 is
     bit-exact in every engine, unlike ``round(double, 4)`` whose half-way
     behaviour differs between Spark (HALF_UP on the binary double) and e.g.
-    DuckDB (scaled multiply-round).  Use these for cross-engine comparisons."""
+    DuckDB (scaled multiply-round).  Use these for cross-engine comparisons.
+
+    Every dict entry is internally single-pass (the aggregate's ``finish``
+    lambda sees the materialized accumulator, so n/s are referenced free of
+    re-evaluation); digit counting is translate-deletion, not regex."""
     t = _col(text)
     w = words(text)
     n_chars = F.length(t).cast("long")
-    n_words = F.size(w).cast("long")
-    stop = F.array([F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x)))).cast("long")
     n_punct = _punct_count(t).cast("long")
-    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("long")
+    n_digit = _digit_count(t).cast("long")
     return {
         "n_chars": n_chars,
-        "n_words": n_words,
+        "n_words": F.size(w).cast("long"),
         "punct_bp": F.floor(n_punct * 10000 / n_chars).cast("long"),
         "digit_bp": F.floor(n_digit * 10000 / n_chars).cast("long"),
-        "stopword_bp": F.floor(n_stop * 10000 / n_words).cast("long"),
+        "stopword_bp": _wc_stop_agg(
+            w, lambda acc: F.floor(acc["s"] * 10000 / acc["n"]).cast("long")),
     }
 
 
@@ -159,7 +195,8 @@ def _word_ngrams(word_arr: Column, n: int) -> Column:
 # not the element representation.
 
 
-def repetition_signals_bp(text: ColumnOrName) -> dict[str, Column]:
+def repetition_signals_bp(text: ColumnOrName | None,
+                          words_arr: Column | None = None) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
     filters), token-level, in integer basis points for cross-engine
     bit-exactness (same rationale as quality_features_bp):
@@ -175,8 +212,13 @@ def repetition_signals_bp(text: ColumnOrName) -> dict[str, Column]:
 
     All row-local array expressions — map-side over the scan, no shuffle, no
     Python; a 100 TB corpus pays one pass.  Short docs degrade gracefully:
-    no bigrams/5-grams → 0 bp (not null), so downstream filters compose."""
-    w = words(text)
+    no bigrams/5-grams → 0 bp (not null), so downstream filters compose.
+
+    ``words_arr``: already-evaluated token array (e.g. a lambda variable from
+    a transform-over-singleton let-binding, or a materialized column) — the
+    signals then share ONE tokenization instead of re-tokenizing per entry
+    (HOFs are interpreted; Catalyst does not CSE across expression roots)."""
+    w = words_arr if words_arr is not None else words(text)
     n = F.size(w).cast("long")
     n_dist = F.size(F.array_distinct(w)).cast("long")
     dup_word = F.when(n > 0, F.floor((n - n_dist) * 10000 / n)).otherwise(0)
@@ -244,15 +286,29 @@ def is_repetitive(text: ColumnOrName,
 
 def quality_score_bp(text: ColumnOrName) -> Column:
     """Integer-exact composite quality in basis points [0, 10000]:
-    0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic."""
-    f = quality_features_bp(text)
-    len_bp = F.least(f["n_words"] * 200, F.lit(10000).cast("long"))
-    stop_bp = F.least(f["stopword_bp"] * 5, F.lit(10000).cast("long"))
+    0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic.
+
+    Single tokenization + single traversal: the whole composite is the
+    aggregate's ``finish`` lambda over the (n_words, n_stop) accumulator —
+    the char-level terms (translate-based punct/digit counts) ride along as
+    captured column expressions, each evaluated once."""
+    t = _col(text)
+    n_chars = F.length(t).cast("long")
+    punct_bp = F.floor(_punct_count(t).cast("long") * 10000 / n_chars).cast("long")
+    digit_bp = F.floor(_digit_count(t).cast("long") * 10000 / n_chars).cast("long")
     noise_bp = F.greatest(
         F.lit(0).cast("long"),
-        F.lit(10000).cast("long") - f["punct_bp"] * 3 - f["digit_bp"] * 2,
+        F.lit(10000).cast("long") - punct_bp * 3 - digit_bp * 2,
     )
-    return F.floor((len_bp * 4 + stop_bp * 3 + noise_bp * 3) / 10).cast("long")
+
+    def finish(acc):
+        len_bp = F.least(acc["n"] * 200, F.lit(10000).cast("long"))
+        stop_bp = F.least(
+            F.floor(acc["s"] * 10000 / acc["n"]).cast("long") * 5,
+            F.lit(10000).cast("long"))
+        return F.floor((len_bp * 4 + stop_bp * 3 + noise_bp * 3) / 10).cast("long")
+
+    return _wc_stop_agg(words(text), finish)
 
 
 # ---------------------------------------------------------------------------
@@ -306,23 +362,61 @@ def lang_id(text: ColumnOrName, default: str = "unknown") -> Column:
     """argmax language by marker score; deterministic tie-break = language
     code order; 'unknown' when every score is 0.
 
-    Implementation note (r5): the obvious fold — ``expr = when(s > best,
-    lang).otherwise(expr); best = greatest(best, s)`` — copies every prior
-    score into BOTH accumulators, doubling the expression tree per
-    language: harmless at 5 languages (2^5 subtree copies), a measured
-    20x slowdown at 13 (lang_id 0.3 → 6.3 s at sf0.1).  The array-of-
-    structs max evaluates each score exactly once: max by (score, -index)
-    makes the FIRST code in sorted order win ties, matching the fold's
-    semantics and the DuckDB oracle's CASE order."""
-    scores = lang_scores(text)
-    langs = sorted(scores)
-    entries = [
-        F.struct(scores[lang].alias("s"), F.lit(-i).alias("ni"))
-        for i, lang in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*entries))
-    code = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["ni"] + 1)
-    return F.when(best["s"] > 0, code).otherwise(F.lit(default))
+    Implementation notes:
+
+    - (r5) the obvious argmax fold doubles the expression tree per language
+      (measured 20x at 13 languages); max over an array of (score, -index)
+      structs evaluates each score once — FIRST code in sorted order wins
+      ties, matching the DuckDB oracle's CASE order.
+    - (r6) the seven Latin marker scores now come from ONE traversal of one
+      lowered tokenization (struct-accumulator aggregate) — the r5 shape ran
+      ``size(filter(words(text)))`` per language, and because higher-order
+      functions are interpreted and Catalyst does not CSE across expression
+      roots, that re-tokenized the text seven times.  Script scores use
+      ``regexp_count`` (no match-array materialization).  The final
+      when/element_at is wrapped in a transform-over-singleton so the argmax
+      struct is evaluated ONCE, not once per reference.  Values are
+      bit-identical to r5 (same counts, same tie-break)."""
+    t = _col(text)
+    marker_langs = sorted(LANG_MARKERS)
+    script_langs = sorted(SCRIPT_PATTERNS)
+    langs = sorted(list(LANG_MARKERS) + list(SCRIPT_PATTERNS))
+    marker_arrs = [F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in marker_langs]
+
+    lw = F.transform(words(t), lambda x: F.lower(x))
+    init = F.array_repeat(F.lit(0), len(marker_langs))
+
+    def step(acc, x):
+        return F.zip_with(
+            acc,
+            F.array(*[F.array_contains(a, x).cast("int") for a in marker_arrs]),
+            lambda p, q: p + q,
+        )
+
+    marker_nis = F.array(*[F.lit(-langs.index(lang)) for lang in marker_langs])
+    marker_structs = F.aggregate(
+        lw, init, step,
+        lambda acc: F.zip_with(
+            acc, marker_nis,
+            lambda s, ni: F.struct(s.cast("int").alias("s"), ni.cast("int").alias("ni"))),
+    )
+    script_structs = F.array(*[
+        F.struct(
+            F.regexp_count(t, F.lit(SCRIPT_PATTERNS[lang])).cast("int").alias("s"),
+            F.lit(-langs.index(lang)).cast("int").alias("ni"),
+        )
+        for lang in script_langs
+    ])
+    best = F.array_max(F.concat(marker_structs, script_structs))
+    codes = F.array(*[F.lit(lang) for lang in langs])
+    return F.element_at(
+        F.transform(
+            F.array(best),
+            lambda b: F.when(b["s"] > 0, F.element_at(codes, -b["ni"] + 1))
+                       .otherwise(F.lit(default)),
+        ),
+        1,
+    )
 
 
 #: three deterministic sample sentences per language — the driver gate

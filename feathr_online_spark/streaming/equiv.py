@@ -54,14 +54,27 @@ GAP_SECONDS = 1800
 
 
 def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
-    """Materialize the 4-file replay fixture from ``sf_dir``/events.parquet
-    (idempotent — skips when the directory already holds 4 files).  Pure
-    pyarrow/pandas: deterministic bytes, no Spark partitioning in the way."""
+    """Materialize the replay fixture from ``sf_dir``/events.parquet
+    (idempotent — skips when the directory already holds the expected files).
+    Pure pyarrow/pandas: deterministic bytes, no Spark partitioning in the way.
+
+    r6: 2 time slices + the late-duplicate file = 3 micro-batch triggers
+    (was 3 + 1).  The slice-0/slice-1 boundary still exercises cross-batch
+    GroupState on every surface (as-of carries features, ffill carries last
+    values, sessions/windows span the cut) and the dup file still arrives
+    LAST to exercise cross-batch dedup state; per-trigger cost is fixed
+    (5 queries × state commits), so one fewer trigger is pure harness
+    saving with identical output (VERDICT r5 #6)."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == 4:
-        return out_dir
+    n_files = 3
+    if os.path.isdir(out_dir):
+        if len(os.listdir(out_dir)) == n_files:
+            return out_dir
+        shutil.rmtree(out_dir)   # stale layout from an older fixture shape
     os.makedirs(out_dir, exist_ok=True)
     t = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
     df = t.rename(columns={"user_id": "entity", "ts": "event_time"})[
@@ -75,12 +88,11 @@ def write_replay_fixture(sf_dir: str, out_dir: str) -> str:
     df["event_time"] = df["event_time"].astype("datetime64[us]")
     df = df.sort_values(["event_time", "event_id"], kind="mergesort").reset_index(drop=True)
     n = len(df)
-    cut1, cut2 = df["event_time"].iloc[n // 3], df["event_time"].iloc[2 * n // 3]
+    cut1 = df["event_time"].iloc[n // 2]
     # slice strictly by timestamp VALUE so equal stamps share a file
     slices = [
         df[df["event_time"] < cut1],
-        df[(df["event_time"] >= cut1) & (df["event_time"] < cut2)],
-        df[df["event_time"] >= cut2],
+        df[df["event_time"] >= cut1],
     ]
     dups = slices[0][slices[0]["event_id"] % 7 == 0].copy()
     dups["dup"] = True
@@ -122,12 +134,22 @@ def _run_to_memory(out: DataFrame, mode: str, checkpoint_root: str):
 
 def _sym_diff_empty(a: DataFrame, b: DataFrame):
     """Boolean one-cell aggregate: a and b hold exactly the same multiset of
-    rows (order-insensitive, exact values)."""
-    return (
-        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(b.exceptAll(a).agg(F.count(F.lit(1)).alias("m")))
-        .select(((F.col("n") == 0) & (F.col("m") == 0)).alias("ok"))
+    rows (order-insensitive, exact values).
+
+    Signed-count form (r6): union a(+1)/b(−1), group by every column, any
+    non-zero weight sum ⇒ unequal.  The same exact-multiset predicate the
+    old symmetric ``exceptAll`` pair computed, in ONE shuffle of a+b instead
+    of four side-shuffles (each exceptAll exchanges both inputs)."""
+    cols = a.columns
+    tagged = (
+        a.select(*cols, F.lit(1).alias("__w"))
+        .unionByName(b.select(*cols, F.lit(-1).alias("__w")))
     )
+    bad = (
+        tagged.groupBy(*cols).agg(F.sum("__w").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    return bad.agg((F.count(F.lit(1)) == 0).alias("ok"))
 
 
 def _with_gaps(df: DataFrame) -> DataFrame:
@@ -302,20 +324,31 @@ def stream_equivalence_summary(spark: SparkSession, sf_dir: str,
         "sessionize": (b_sess, ["entity", "session_start", "session_end", "n"]),
         "windowed": (b_win, ["entity", "window_start", "window_end", "n"]),
     }
+    def compare(item):
+        surface, (batch_df, cols) = item
+        # job descriptions are thread-local — each concurrent leg labels itself
+        spark.sparkContext.setJobDescription(f"stream_equiv verify: {surface}")
+        st = spark.table(handles[surface][1])
+        if cols:
+            st = st.select(*cols)
+            batch_df = batch_df.select(*cols)
+        r = (
+            st.agg(F.count(F.lit(1)).alias("n_out"))
+            .crossJoin(_sym_diff_empty(st, batch_df))
+            .select(F.lit(surface).alias("surface"), "n_out",
+                    F.col("ok").alias("equal_ok"))
+        ).collect()[0]
+        return (surface, r.n_out, bool(r.equal_ok))
+
     try:
-        rows = []
-        for surface, (batch_df, cols) in batch_side.items():
-            st = spark.table(handles[surface][1])
-            if cols:
-                st = st.select(*cols)
-                batch_df = batch_df.select(*cols)
-            r = (
-                st.agg(F.count(F.lit(1)).alias("n_out"))
-                .crossJoin(_sym_diff_empty(st, batch_df))
-                .select(F.lit(surface).alias("surface"), "n_out",
-                        F.col("ok").alias("equal_ok"))
-            ).collect()[0]
-            rows.append((surface, r.n_out, bool(r.equal_ok)))
+        # the five comparisons are independent jobs — overlap them so one
+        # leg's straggler tail back-fills with the next leg's tasks
+        # (optimization guide §2.6); 3 in flight keeps the box busy without
+        # thrashing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            rows = list(pool.map(compare, batch_side.items()))
     finally:
         _cleanup_replay(spark, handles, ckpt)
     return spark.createDataFrame(
