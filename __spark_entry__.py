@@ -2138,8 +2138,8 @@ def engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = eq.run_replay(spark, sf_dir, fixture)
         handles, ckpt = state["handles"], state["ckpt"]
         try:
-            rows = [(surface, spark.table(name).count())
-                    for surface, (_q, name) in handles.items()]
+            rows = [(surface, eq._sink_df(spark, ref).count())
+                    for surface, (_q, ref) in handles.items()]
         finally:
             eq._cleanup_replay(spark, handles, ckpt)
         return spark.createDataFrame(rows, "surface string, n_out long")

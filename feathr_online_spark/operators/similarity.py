@@ -383,8 +383,12 @@ def embedding_topk_pairs(
         F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
         F.lit(0).alias("side"), "id", "v",
     )
+    # the diagonal group reads its block from the LEFT side only (triu), so
+    # the right side replicates to strictly-lower block ids; blk=0 yields an
+    # empty/null sequence which explode (inner semantics) drops
     right = base.select(
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.explode(F.when(F.col("blk") >= 1,
+                         F.sequence(F.lit(0), F.col("blk") - 1))).alias("bi"),
         F.col("blk").alias("bj"),
         F.lit(1).alias("side"), "id", "v",
     )

@@ -121,12 +121,12 @@ def collect_errors(df: DataFrame, err_prefix: str = "_err_") -> DataFrame:
     err_cols = [c for c in df.columns if c.startswith(err_prefix)]
     if not err_cols:
         return df.sparkSession.createDataFrame([], "column string, message string, n long")
-    # clean rows (the common case) exit BEFORE the explode: the coalesce
-    # filter is one map-side pass, so the explode/aggregate only sees rows
-    # that actually carry an error marker instead of len(err_cols)× every row
-    any_err = F.coalesce(*[F.col(c) for c in err_cols]).isNotNull() if len(err_cols) > 1 \
-        else F.col(err_cols[0]).isNotNull()
-    stacked = df.filter(any_err).select(
+    # NB a "pre-filter clean rows before the explode" pass was measured and
+    # REJECTED (r6): the filter references the COMPUTED _err_ columns, so
+    # Catalyst evaluates the validation expressions once for the filter and
+    # again for the explode — 6 → 11 s at sf1.0; the plain explode-then-
+    # filter evaluates them once
+    stacked = df.select(
         F.explode(
             F.array(*[
                 F.struct(F.lit(c[len(err_prefix):]).alias("column"), F.col(c).alias("message"))
