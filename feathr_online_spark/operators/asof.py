@@ -215,34 +215,57 @@ def _asof_cogroup(
     tiebreak = F.col(right_tiebreak) if right_tiebreak else F.xxhash64(*[F.col(c) for c in payload])
     ft = features.withColumn("__tb", tiebreak.cast("long"))
 
+    def merge_one(left: pd.DataFrame, right: pd.DataFrame, by) -> pd.DataFrame:
+        """merge_asof of one sorted slice; ``by`` adds per-entity grouping
+        inside pandas (vectorized across entities — see below)."""
+        right = right.assign(__asof_m__=True)
+        cols = ([on] if by else []) + [right_ts] + payload + ["__asof_m__"]
+        return pd.merge_asof(
+            left,
+            right[cols],
+            left_on=left_ts,
+            right_on=right_ts,
+            by=on if by else None,
+            allow_exact_matches=allow_exact,
+            direction="backward",
+        )
+
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(columns=out_cols)
         # merge_asof raises on null merge keys; a null-ts EVENT row gets a
         # null payload (it precedes every feature, like the union strategy's
-        # nulls-first sort) and is re-appended after the merge
+        # nulls-first sort) and is re-appended after the merge.  A null
+        # ENTITY is one Spark group semantically: its events match its
+        # features — pandas by= treats NaN keys as matching nothing, so the
+        # null-entity slice merges separately WITHOUT by.
         null_ev = left[left[left_ts].isna()]
-        left = left[left[left_ts].notna()].sort_values(left_ts, kind="mergesort")
-        if right.empty or left.empty:
-            out = pd.concat([left, null_ev], ignore_index=True) if len(null_ev) else left
-            for c in payload:
-                out[c] = None
-            if match_indicator:
-                out[match_indicator] = False
-            return out[out_cols]
-        right = right.sort_values([right_ts, "__tb"], kind="mergesort")
-        # a sentinel marker column (always-true on the right) survives the
-        # merge as NaN exactly on misses — a name-collision-proof matched
-        # indicator even when every payload field is null
-        right = right.assign(__asof_m__=True)
-        merged = pd.merge_asof(
-            left,
-            right[[right_ts] + payload + ["__asof_m__"]],
-            left_on=left_ts,
-            right_on=right_ts,
-            allow_exact_matches=allow_exact,
-            direction="backward",
-        )
+        left = left[left[left_ts].notna()]
+        pieces = []
+        if len(left) and len(right):
+            # global (ts, tb) sort: within each by-group rows stay
+            # (ts, tb)-ordered, so backward-last picks the max-tiebreak
+            # winner among equal timestamps, exactly the per-entity path
+            lna = left[on].isna()
+            rna = right[on].isna()
+            lv = left[~lna].sort_values(left_ts, kind="mergesort")
+            rv = right[~rna].sort_values([right_ts, "__tb"], kind="mergesort")
+            if len(lv):
+                pieces.append(merge_one(lv, rv, by=True) if len(rv)
+                              else lv.assign(__asof_m__=None))
+            ln = left[lna].sort_values(left_ts, kind="mergesort")
+            rn = right[rna].sort_values([right_ts, "__tb"], kind="mergesort")
+            if len(ln):
+                pieces.append(merge_one(ln.drop(columns=[on]), rn, by=False)
+                              .assign(**{on: None}) if len(rn)
+                              else ln.assign(__asof_m__=None))
+        elif len(left):
+            pieces.append(left.sort_values(left_ts, kind="mergesort")
+                          .assign(__asof_m__=None))
+        merged = pieces[0] if len(pieces) == 1 else pd.concat(pieces, ignore_index=True)
+        for c in payload:
+            if c not in merged.columns:
+                merged[c] = None
         if match_indicator:
             merged[match_indicator] = merged["__asof_m__"].notna()
         if len(null_ev):
@@ -255,17 +278,26 @@ def _asof_cogroup(
                                ignore_index=True)
         return merged[out_cols]
 
-    # Pin the cogroup width: the Arrow/pandas merge is CPU-dense but
-    # byte-light, and AQE's size-based coalescing would otherwise funnel
-    # every group through ONE python worker (measured 14s -> 2s at sf0.1).
+    # r6: cogroup by a HASH BUCKET of entities, not per entity — the merge
+    # itself handles per-entity grouping via pandas merge_asof(by=on)
+    # (vectorized C across all entities of the bucket), so the Python
+    # function runs `width` times instead of once per entity (~1 ms/call ×
+    # |entities| dominated the gate at 1M rows/5k entities).  The bucket
+    # width is pinned: the Arrow/pandas merge is CPU-dense but byte-light,
+    # and AQE's size-based coalescing would otherwise funnel every group
+    # through ONE python worker (measured 14s -> 2s at sf0.1).
     width = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ev_w = events.repartition(width, on)
-    ft_w = ft.repartition(width, on)
-    return (
-        ev_w.groupBy(on)
-        .cogroup(ft_w.groupBy(on))
-        .applyInPandas(merge, schema=out_schema)
+    bucket = F.pmod(F.xxhash64(F.col(on)), F.lit(width)).cast("int")
+    ev_w = events.withColumn("__bkt", bucket)
+    ft_w = ft.withColumn("__bkt", bucket)
+    out = (
+        ev_w.groupBy("__bkt")
+        .cogroup(ft_w.groupBy("__bkt"))
+        .applyInPandas(lambda l, r: merge(l.drop(columns=["__bkt"]),
+                                          r.drop(columns=["__bkt"])),
+                       schema=out_schema)
     )
+    return out
 
 
 def leakage_check(
