@@ -306,9 +306,9 @@ def minhash_lsh_pairs(
     # rows (the k-permutation signature pass is not duplicated), and the
     # cross product per bucket runs inside codegen'd join machinery — an
     # interpreted posting-list expansion was tried and loses badly on hot
-    # buckets
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    bucketed = bucketed.repartition(width, "band", "bucket")
+    # buckets.  No explicit repartition here: a user-specified distribution
+    # would be preserved by AQE and disable its skew-join splitting, which
+    # is exactly what protects the hot buckets.
     cand = (
         bucketed.alias("x")
         .join(
@@ -540,9 +540,8 @@ def simhash_pairs(
     # (the simhash aggregation — the dominant cost — is not duplicated), and
     # the per-bucket cross product stays in codegen'd join machinery — an
     # interpreted posting-list expansion was tried and loses badly on hot
-    # chunk keys
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    chunks = chunks.repartition(width, "chunk", "key")
+    # chunk keys.  No explicit repartition: it would pin a user distribution
+    # and disable AQE skew-join splitting of hot chunk keys.
     cand = (
         chunks.alias("x")
         .join(

@@ -45,16 +45,36 @@ def prepare_corpus(
     exact-dedup semi-join's fingerprint leg and its output leg each
     re-evaluated lang_id + quality over every row (~2× the map-side cost,
     measured ~half the gate wall at sf1.0)."""
-    from feathr_online_spark.operators.text import content_fingerprint
+    from feathr_online_spark.operators.text import content_fingerprint, words
 
     ann = {"lang_pred": lang_id(F.col(text_col)), "quality_bp": quality_score_bp(text_col)}
-    pred = F.col("lang_pred").isin(*langs) & (F.col("quality_bp") >= min_quality_bp)
-    decide = (
-        df.select(F.col(id_col), *[e.alias(n) for n, e in ann.items()],
-                  content_fingerprint(F.col(text_col)).alias("__fp"))
-        .filter(pred)
+    # Decision pass evaluated exactly ONCE per row: the language and quality
+    # scorers share one tokenization (transform-over-singleton let-binding,
+    # the q_text_repetition rationale) and the struct lands in its own
+    # projection (multi-referenced non-cheap alias → no CollapseProject
+    # inline).  Deliberately NO .filter(pred): PushDownPredicate would
+    # substitute the aliased annotate expressions into the pushed filter and
+    # evaluate them twice per row — instead the predicate folds into the
+    # survivor aggregation as min(when(keep, id)) (min ignores nulls, and a
+    # fingerprint group with no kept row yields null → dropped), which is
+    # the same keep-set with nothing for the optimizer to duplicate.
+    bound = df.select(
+        F.col(id_col),
+        F.element_at(F.transform(F.array(words(F.col(text_col))), lambda wv: F.struct(
+            lang_id(F.col(text_col), words_arr=wv).alias("lang_pred"),
+            quality_score_bp(text_col, words_arr=wv).alias("quality_bp"),
+        )), 1).alias("__A"),
+        content_fingerprint(F.col(text_col)).alias("__fp"),
     )
-    keep = decide.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    keep_pred = (F.col("__A.lang_pred").isin(*langs)
+                 & (F.col("__A.quality_bp") >= min_quality_bp))
+    dec = bound.select(id_col, "__fp", keep_pred.alias("__keep"))
+    keep = (
+        dec.groupBy("__fp")
+        .agg(F.min(F.when(F.col("__keep"), F.col(id_col))).alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .select(id_col)
+    )
     kept = df.join(keep, id_col, "left_semi").withColumns(ann)
     if near_dup_pairs is not None:
         kept = dedup_survivors(kept, near_dup_pairs, id_col)

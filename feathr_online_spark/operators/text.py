@@ -150,7 +150,8 @@ def _wc_stop_agg(w: Column, finish) -> Column:
     return F.aggregate(w, init, step, finish)
 
 
-def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
+def quality_features_bp(text: ColumnOrName,
+                        words_arr: Column | None = None) -> dict[str, Column]:
     """Engine-portable integer variant: ratios in basis points (1/10000) via
     exact integer arithmetic — ``floor(a*10000 / b)`` with operands < 2^53 is
     bit-exact in every engine, unlike ``round(double, 4)`` whose half-way
@@ -159,9 +160,11 @@ def quality_features_bp(text: ColumnOrName) -> dict[str, Column]:
 
     Every dict entry is internally single-pass (the aggregate's ``finish``
     lambda sees the materialized accumulator, so n/s are referenced free of
-    re-evaluation); digit counting is translate-deletion, not regex."""
+    re-evaluation); digit counting is translate-deletion, not regex.
+    ``words_arr``: already-evaluated token array (see repetition_signals_bp)
+    so several entries can share ONE tokenization."""
     t = _col(text)
-    w = words(text)
+    w = words_arr if words_arr is not None else words(text)
     n_chars = F.length(t).cast("long")
     n_punct = _punct_count(t).cast("long")
     n_digit = _digit_count(t).cast("long")
@@ -284,7 +287,8 @@ def is_repetitive(text: ColumnOrName,
     return flag
 
 
-def quality_score_bp(text: ColumnOrName) -> Column:
+def quality_score_bp(text: ColumnOrName,
+                     words_arr: Column | None = None) -> Column:
     """Integer-exact composite quality in basis points [0, 10000]:
     0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic.
 
@@ -308,7 +312,7 @@ def quality_score_bp(text: ColumnOrName) -> Column:
             F.lit(10000).cast("long"))
         return F.floor((len_bp * 4 + stop_bp * 3 + noise_bp * 3) / 10).cast("long")
 
-    return _wc_stop_agg(words(text), finish)
+    return _wc_stop_agg(words_arr if words_arr is not None else words(text), finish)
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +362,8 @@ def lang_scores(text: ColumnOrName) -> dict[str, Column]:
     return out
 
 
-def lang_id(text: ColumnOrName, default: str = "unknown") -> Column:
+def lang_id(text: ColumnOrName, default: str = "unknown",
+            words_arr: Column | None = None) -> Column:
     """argmax language by marker score; deterministic tie-break = language
     code order; 'unknown' when every score is 0.
 
@@ -383,7 +388,8 @@ def lang_id(text: ColumnOrName, default: str = "unknown") -> Column:
     langs = sorted(list(LANG_MARKERS) + list(SCRIPT_PATTERNS))
     marker_arrs = [F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in marker_langs]
 
-    lw = F.transform(words(t), lambda x: F.lower(x))
+    lw = F.transform(words_arr if words_arr is not None else words(t),
+                     lambda x: F.lower(x))
     init = F.array_repeat(F.lit(0), len(marker_langs))
 
     def step(acc, x):
