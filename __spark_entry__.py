@@ -1642,8 +1642,8 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently.  Output: (n_strong_pairs, recall_ok ≥ 0.9) — at 8 planes
     / multiprobe 2 the expected recall is ≈ 0.999, so the gate has margin."""
     from feathr_online_spark.operators.similarity import (
+        _cosine_pd,
         embedding_lsh_pairs,
-        normalized,
         write_embedding_fixture,
     )
 
@@ -1651,17 +1651,14 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     emb = spark.read.parquet(_EMBEDDING_FIXTURE)
     found = embedding_lsh_pairs(emb, threshold=0.99, dim=64).select("a", "b")
-    unit = emb.select(F.col("vec_id").alias("a"), normalized(F.col("embedding")).alias("__va"))
-    right = unit.select(F.col("a").alias("b"), F.col("__va").alias("__vb"))
+    # exact ground-truth leg: vectorized cosine (r6) — the fixture plants
+    # dups at cos ≈ 0.999 vs a ≤ 0.6 background, so the 0.99 cut is far
+    # from any float-noise boundary
+    left = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__ea"))
+    right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__eb"))
     strong = (
-        unit.join(right, F.col("a") < F.col("b"))
-        .withColumn(
-            "cos",
-            F.aggregate(
-                F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ),
-        )
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("cos", _cosine_pd()(F.col("__ea"), F.col("__eb")))
         .filter(F.col("cos") >= 0.99)
         .select("a", "b")
     )

@@ -16,6 +16,8 @@ functions; numpy appears only at plan-build time to generate plane literals.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -274,10 +276,13 @@ def knn_lsh(
             for j in range(i + 1, n_planes)
         ]
     qb = qb.withColumn("__bucket", F.explode(F.array(*probe_buckets))).drop("__b0")
+    # vectorized cosine over the bucket-join candidates (r6; bucket
+    # assignment stays the JVM plan-literal expression on BOTH sides so a
+    # sign-boundary ulp can never split a query from its own bucket)
     scored = cb.join(F.broadcast(qb), "__bucket").select(
         F.col(q_id),
         F.col(c_id).alias("neighbor_id"),
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim"),
+        F.round(_cosine_pd()(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -285,6 +290,26 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select(q_id, "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _cosine_pd() -> "Column":
+    """Vectorized (Arrow/pandas) cosine of two array columns — numpy float64
+    per batch, same formula as ``cosine`` (dot / (|a|·|b|)).  For scoring
+    joins whose pair volume makes the interpreted zip_with/aggregate dot the
+    bottleneck (HOFs are CodegenFallback); values agree with the JVM fold to
+    well past the round(·, 6) grid every consumer applies."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(a.to_numpy()).astype(np.float64)
+        y = np.stack(b.to_numpy()).astype(np.float64)
+        d = np.einsum("ij,ij->i", x, y)
+        return pd.Series(d / (np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)))
+
+    return cos
 
 
 def normalized(vec: Column) -> Column:
@@ -382,6 +407,25 @@ def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return F.least(*structs)["c"]
 
 
+def _assign_cell_pd(centroids: list[list[float]]) -> "Column":
+    """Vectorized (Arrow/pandas) nearest-centroid assignment — one numpy
+    distance matrix per batch instead of n_cells interpreted _dist2 folds
+    per row.  np.argmin ties break low-index, matching assign_cell's
+    lexicographic (distance, cell) min."""
+    import pandas as pd
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        c = np.asarray(centroids, dtype=np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -402,10 +446,15 @@ def knn_ivf(
     ~n_cells/n_probe-fold vs brute force.  At 100 TB the cell column is
     written once at ingest (partition-by-cell) and probes prune partitions."""
     cents = train_ivf_centroids(corpus, n_cells, iters, c_id, c_vec)
-    cb = corpus.withColumn("__cell", assign_cell(F.col(c_vec), cents))
+    # cell assignment + probe scoring run vectorized (Arrow/numpy, r6): the
+    # per-row n_cells×dim interpreted distance folds and the per-pair
+    # interpreted cosine were ~6 s of the gate at 20k×64 — same argmin
+    # tie-break, same values at the round(·, 6) grid
+    cb = corpus.withColumn("__cell", _assign_cell_pd(cents)(F.col(c_vec)))
     # per-query probe cells: sort the (distance, cell) structs, take n_probe
+    # (|Q| rows — the interpreted form is fine here)
     probe_structs = F.array(*[
-        F.struct(_dist2(F.col(q_vec), c).alias("d"), F.lit(i).alias("c")) for i, c in enumerate(cents)
+        F.struct(_dist2(F.col(q_vec), c).alias("d"), F.lit(i).cast("int").alias("c")) for i, c in enumerate(cents)
     ])
     qb = queries.withColumn(
         "__cell", F.explode(F.transform(F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["c"]))
@@ -413,7 +462,7 @@ def knn_ivf(
     scored = cb.join(F.broadcast(qb), "__cell").select(
         F.col(q_id),
         F.col(c_id).alias("neighbor_id"),
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim"),
+        F.round(_cosine_pd()(F.col(q_vec), F.col(c_vec)), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
