@@ -1065,6 +1065,12 @@ def _shared_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TOKS_CACHE.get(key)
     if df is None:
+        # evict entries from other (stopped) applications on insert — the
+        # cache would otherwise grow for the Python process lifetime
+        # (ADVICE r5); sf_dir contents must be immutable for the
+        # application lifetime (the persisted frame serves them verbatim)
+        for k in [k for k in _TOKS_CACHE if k[0] != spark.sparkContext.applicationId]:
+            _TOKS_CACHE.pop(k, None)
         docs = _t(spark, sf_dir, "documents")
         df = docs.select("doc_id", "source", "text",
                          words(F.lower(F.col("text"))).alias("__w")).persist()

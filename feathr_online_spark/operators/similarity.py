@@ -379,13 +379,22 @@ def train_ivf_centroids(
             .orderBy(F.xxhash64(F.col(c_id).cast("string")), c_id)
             .limit(sample_cap).select(c_vec).collect())
     x = np.array([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        # ADVICE r5: x[0] would raise an inscrutable IndexError
+        raise ValueError("train_ivf_centroids: empty corpus — nothing to sample")
     n_cells = min(n_cells, len(x))
     picked = [0]
     d_min = ((x - x[0]) ** 2).sum(axis=1)
     for _ in range(n_cells - 1):
+        if d_min.max() == 0:
+            # fewer distinct points than n_cells: argmax over all-zero
+            # distances would re-pick index 0 and emit duplicate centroids
+            # (ADVICE r5) — truncate to the distinct-point count
+            break
         nxt = int(d_min.argmax())
         picked.append(nxt)
         d_min = np.minimum(d_min, ((x - x[nxt]) ** 2).sum(axis=1))
+    n_cells = len(picked)
     cents = x[picked].copy()
     for _ in range(iters):
         # (n, k) squared distances; argmin ties → lowest cell id

@@ -574,7 +574,12 @@ def rolling_bucketed(
     counts = (
         d.groupBy(on, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
         .withColumn("__next_bkt", F.lead("__bkt").over(w_chain))
-        .withColumn("__has_prev", F.lag("__bkt").over(w_chain).isNotNull())
+        # positional has-prev (ADVICE r5): row_number distinguishes "no prior
+        # row" structurally instead of testing lag(__bkt) for null — today
+        # __bkt is never null (the _bkt sentinel coalesce), so the two are
+        # equivalent, but this form cannot silently break if a future bucket
+        # key admits nulls
+        .withColumn("__has_prev", F.row_number().over(w_chain) > 1)
     )
     chain = counts.select(on, "__bkt", "__next_bkt")
     affected = None
