@@ -1217,37 +1217,22 @@ SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality features + composite score per document, in integer basis
     points (exact cross-engine arithmetic — see quality_features_bp)."""
-    from feathr_online_spark.operators.text import (
-        quality_features_bp,
-        quality_score_bp,
-        words,
-    )
+    from feathr_online_spark.operators.text import quality_features_bp, quality_score_bp
 
     docs = _t(spark, sf_dir, "documents")
-
-    # let-binding via transform-over-singleton (the q_text_repetition
-    # rationale): all four outputs read ONE tokenization; the struct lands
-    # in its own projection (multi-referenced non-cheap alias →
-    # CollapseProject keeps the boundary)
-    def _tq_struct(wv):
-        feats = quality_features_bp("text", words_arr=wv)
-        return F.struct(
-            feats["n_words"].alias("n_words"),
-            feats["punct_bp"].alias("punct_bp"),
-            feats["stopword_bp"].alias("stopword_bp"),
-            quality_score_bp("text", words_arr=wv).alias("quality_bp"),
-        )
-
-    bound = docs.select(
+    # direct shape — a transform-over-singleton let-binding of the
+    # tokenization was measured and REJECTED here (2.3 → 3.8 s at sf1.0):
+    # wrapping the expression in a lambda forces its codegen-friendly
+    # pieces (split/trim/translate) into interpreted eval, which costs more
+    # than the extra codegen'd tokenizations it saves.  The binding only
+    # pays where the pieces are interpreted HOFs anyway (text_repetition).
+    feats = quality_features_bp("text")
+    return docs.select(
         "doc_id",
-        F.element_at(F.transform(F.array(words(F.col("text"))), _tq_struct), 1).alias("__Q"),
-    )
-    return bound.select(
-        "doc_id",
-        F.col("__Q.n_words").alias("n_words"),
-        F.col("__Q.punct_bp").alias("punct_bp"),
-        F.col("__Q.stopword_bp").alias("stopword_bp"),
-        F.col("__Q.quality_bp").alias("quality_bp"),
+        feats["n_words"].alias("n_words"),
+        feats["punct_bp"].alias("punct_bp"),
+        feats["stopword_bp"].alias("stopword_bp"),
+        quality_score_bp("text").alias("quality_bp"),
     )
 
 

@@ -126,28 +126,27 @@ def quality_score(text: ColumnOrName) -> Column:
 
 
 def _digit_count(t: Column) -> Column:
-    """Digit-char count by translate-deletion (the ``_punct_count`` trick):
-    ``length(t) - length(t with digits deleted)`` — no regex, no match-array
-    materialization; values identical to ``regexp_extract_all(t, '[0-9]')``."""
-    return F.length(t) - F.length(F.translate(t, "0123456789", ""))
+    """Digit-char count.  Positive-class regex, NOT translate-deletion: the
+    JDK slow path the ``_punct_count`` translate trick dodges is specific
+    to NEGATED classes — for ``[0-9]`` the regex scan is fast and the
+    translate form (which copies the string) measured 3× SLOWER at sf1.0
+    (0.21 vs 0.62 s; r6 A/B)."""
+    return F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
 
 
 def _wc_stop_agg(w: Column, finish) -> Column:
-    """ONE traversal of the token array computing (token count, stopword
-    count) in a struct accumulator, reduced by ``finish(acc)`` — the
-    single-pass replacement for separate size(w)/size(filter(w)) legs whose
-    each reference re-tokenized the text (HOFs are interpreted; Catalyst
-    does not CSE across expression roots)."""
+    """(token count, stopword count) over a token array, reduced by
+    ``finish(n, s)``.  Pass an already-evaluated array (lambda variable /
+    materialized column) so the references share one tokenization.
+
+    NB a struct-accumulator ``aggregate`` single-pass form was measured and
+    REJECTED (r6): per-token struct allocation in interpreted eval costs
+    more than the extra cheap array traversals — 2.4 → 4.8 s on the
+    text_quality gate at sf1.0; size() + one filter pass is the fast shape."""
     stop = F.array([F.lit(s) for s in EN_STOPWORDS])
-    init = F.struct(F.lit(0).cast("long").alias("n"), F.lit(0).cast("long").alias("s"))
-
-    def step(acc, x):
-        return F.struct(
-            (acc["n"] + 1).alias("n"),
-            (acc["s"] + F.array_contains(stop, F.lower(x)).cast("long")).alias("s"),
-        )
-
-    return F.aggregate(w, init, step, finish)
+    n = F.size(w).cast("long")
+    s = F.size(F.filter(w, lambda x: F.array_contains(stop, F.lower(x)))).cast("long")
+    return finish(n, s)
 
 
 def quality_features_bp(text: ColumnOrName,
@@ -158,11 +157,9 @@ def quality_features_bp(text: ColumnOrName,
     behaviour differs between Spark (HALF_UP on the binary double) and e.g.
     DuckDB (scaled multiply-round).  Use these for cross-engine comparisons.
 
-    Every dict entry is internally single-pass (the aggregate's ``finish``
-    lambda sees the materialized accumulator, so n/s are referenced free of
-    re-evaluation); digit counting is translate-deletion, not regex.
-    ``words_arr``: already-evaluated token array (see repetition_signals_bp)
-    so several entries can share ONE tokenization."""
+    Digit counting is translate-deletion, not regex.  ``words_arr``:
+    already-evaluated token array (see repetition_signals_bp) so every
+    entry shares ONE tokenization."""
     t = _col(text)
     w = words_arr if words_arr is not None else words(text)
     n_chars = F.length(t).cast("long")
@@ -174,7 +171,7 @@ def quality_features_bp(text: ColumnOrName,
         "punct_bp": F.floor(n_punct * 10000 / n_chars).cast("long"),
         "digit_bp": F.floor(n_digit * 10000 / n_chars).cast("long"),
         "stopword_bp": _wc_stop_agg(
-            w, lambda acc: F.floor(acc["s"] * 10000 / acc["n"]).cast("long")),
+            w, lambda n, s: F.floor(s * 10000 / n).cast("long")),
     }
 
 
@@ -292,10 +289,9 @@ def quality_score_bp(text: ColumnOrName,
     """Integer-exact composite quality in basis points [0, 10000]:
     0.4·len + 0.3·stopword + 0.3·(1 − noise), all in integer arithmetic.
 
-    Single tokenization + single traversal: the whole composite is the
-    aggregate's ``finish`` lambda over the (n_words, n_stop) accumulator —
-    the char-level terms (translate-based punct/digit counts) ride along as
-    captured column expressions, each evaluated once."""
+    With ``words_arr`` bound by the caller the composite costs one size()
+    and one filter pass over the shared token array plus the translate-based
+    punct/digit counts — no re-tokenization anywhere."""
     t = _col(text)
     n_chars = F.length(t).cast("long")
     punct_bp = F.floor(_punct_count(t).cast("long") * 10000 / n_chars).cast("long")
@@ -305,10 +301,10 @@ def quality_score_bp(text: ColumnOrName,
         F.lit(10000).cast("long") - punct_bp * 3 - digit_bp * 2,
     )
 
-    def finish(acc):
-        len_bp = F.least(acc["n"] * 200, F.lit(10000).cast("long"))
+    def finish(n, s):
+        len_bp = F.least(n * 200, F.lit(10000).cast("long"))
         stop_bp = F.least(
-            F.floor(acc["s"] * 10000 / acc["n"]).cast("long") * 5,
+            F.floor(s * 10000 / n).cast("long") * 5,
             F.lit(10000).cast("long"))
         return F.floor((len_bp * 4 + stop_bp * 3 + noise_bp * 3) / 10).cast("long")
 
@@ -373,48 +369,41 @@ def lang_id(text: ColumnOrName, default: str = "unknown",
       (measured 20x at 13 languages); max over an array of (score, -index)
       structs evaluates each score once — FIRST code in sorted order wins
       ties, matching the DuckDB oracle's CASE order.
-    - (r6) the seven Latin marker scores now come from ONE traversal of one
-      lowered tokenization (struct-accumulator aggregate) — the r5 shape ran
-      ``size(filter(words(text)))`` per language, and because higher-order
-      functions are interpreted and Catalyst does not CSE across expression
-      roots, that re-tokenized the text seven times.  Script scores use
-      ``regexp_count`` (no match-array materialization).  The final
-      when/element_at is wrapped in a transform-over-singleton so the argmax
-      struct is evaluated ONCE, not once per reference.  Values are
-      bit-identical to r5 (same counts, same tie-break)."""
+    - (r6) the seven Latin marker scores share ONE lowered tokenization,
+      bound once as a transform-over-singleton lambda variable — the r5
+      shape ran ``size(filter(words(text)))`` per language, and because
+      higher-order functions are interpreted and Catalyst does not CSE
+      across expression roots, that re-tokenized the text seven times.
+      (A struct-accumulator single-traversal aggregate was measured and
+      REJECTED: per-token struct/array allocation in interpreted eval loses
+      to seven plain filter passes over the bound array, 4.8 vs 3.9 s on
+      the gate.)  Script scores use ``regexp_count`` (no match-array
+      materialization).  The final when/element_at is wrapped in the same
+      binding trick so the argmax struct is evaluated ONCE, not once per
+      reference.  Values are bit-identical to r5 (same counts, same
+      tie-break).
+
+    ``words_arr``: already-evaluated token array (e.g. an outer lambda
+    variable) to share the tokenization with other annotators."""
     t = _col(text)
-    marker_langs = sorted(LANG_MARKERS)
-    script_langs = sorted(SCRIPT_PATTERNS)
     langs = sorted(list(LANG_MARKERS) + list(SCRIPT_PATTERNS))
-    marker_arrs = [F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in marker_langs]
-
-    lw = F.transform(words_arr if words_arr is not None else words(t),
-                     lambda x: F.lower(x))
-    init = F.array_repeat(F.lit(0), len(marker_langs))
-
-    def step(acc, x):
-        return F.zip_with(
-            acc,
-            F.array(*[F.array_contains(a, x).cast("int") for a in marker_arrs]),
-            lambda p, q: p + q,
-        )
-
-    marker_nis = F.array(*[F.lit(-langs.index(lang)) for lang in marker_langs])
-    marker_structs = F.aggregate(
-        lw, init, step,
-        lambda acc: F.zip_with(
-            acc, marker_nis,
-            lambda s, ni: F.struct(s.cast("int").alias("s"), ni.cast("int").alias("ni"))),
-    )
-    script_structs = F.array(*[
-        F.struct(
-            F.regexp_count(t, F.lit(SCRIPT_PATTERNS[lang])).cast("int").alias("s"),
-            F.lit(-langs.index(lang)).cast("int").alias("ni"),
-        )
-        for lang in script_langs
-    ])
-    best = F.array_max(F.concat(marker_structs, script_structs))
     codes = F.array(*[F.lit(lang) for lang in langs])
+
+    def build(lw):
+        entries = []
+        for lang in langs:
+            if lang in LANG_MARKERS:
+                arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+                s = F.size(F.filter(lw, lambda x: F.array_contains(arr, x)))
+            else:
+                s = F.regexp_count(t, F.lit(SCRIPT_PATTERNS[lang]))
+            entries.append(F.struct(s.cast("int").alias("s"),
+                                    F.lit(-langs.index(lang)).cast("int").alias("ni")))
+        return F.array_max(F.array(*entries))
+
+    w = words_arr if words_arr is not None else words(t)
+    best = F.element_at(
+        F.transform(F.array(F.transform(w, lambda x: F.lower(x))), build), 1)
     return F.element_at(
         F.transform(
             F.array(best),
