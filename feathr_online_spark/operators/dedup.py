@@ -262,6 +262,44 @@ def minhash_signature(shingle_arr: Column, k: int = 128) -> Column:
     return F.array(*[F.array_min(F.transform(shingle_arr, perm(a, b))) for a, b in params])
 
 
+def _minhash_sigs_pd(sh: DataFrame, k: int) -> DataFrame:
+    """(id, shingles) → (id, sig) with the signature computed in numpy —
+    bit-identical to ``minhash_signature`` (same ``_minhash_params`` affine
+    constants, uint64 wrap-around multiply-add = Java long overflow, and the
+    per-permutation min taken over the SIGNED int64 view, matching JVM
+    ``array_min``).  The k-permutation sweep was the minhash gate's dominant
+    interpreted-HOF cost (k × |shingles| lambda evals per doc); here it is
+    k vectorized passes over the batch's flattened shingle array with a
+    segmented ``minimum.reduceat``.  Ids must be integral (the gate's doc
+    ids are longs)."""
+    import pandas as pd
+
+    params = _minhash_params(k)
+
+    def gen(batches):
+        import numpy as np
+
+        a_np = np.array([p[0] for p in params], dtype=np.uint64)
+        b_np = np.array([p[1] for p in params], dtype=np.uint64)
+        for pdf in batches:
+            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["shingles"]]
+            keep = [i for i, x in enumerate(arrs) if len(x)]
+            if not keep:
+                continue
+            ids = pdf["id"].to_numpy()[keep]
+            arrs = [arrs[i] for i in keep]
+            lens = np.array([len(x) for x in arrs])
+            offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+            flat = np.concatenate(arrs).view(np.uint64)
+            sig = np.empty((len(arrs), k), dtype=np.int64)
+            for i in range(k):
+                y = (flat * a_np[i] + b_np[i]).view(np.int64)
+                sig[:, i] = np.minimum.reduceat(y, offs)
+            yield pd.DataFrame({"id": ids, "sig": list(sig)})
+
+    return sh.select("id", "shingles").mapInPandas(gen, schema="id long, sig array<bigint>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -283,10 +321,11 @@ def minhash_lsh_pairs(
         raise ValueError("k must be divisible by bands")
     r = k // bands
     keep = [id_col, words_col or text_col]
+    _require_non_ansi()   # documents the wrap-around contract for this path too
     sh = with_shingle_hashes(_widen(df.select(*keep)), text_col, n, words_col=words_col).select(
         F.col(id_col).alias("id"), "shingles"
     ).filter(F.size("shingles") > 0)
-    sig = sh.select("id", minhash_signature(F.col("shingles"), k).alias("sig"))
+    sig = _minhash_sigs_pd(sh, k)
     # one row per (doc, band): bucket key = xxhash64 of the band's slice
     bucketed = sig.select(
         "id",
@@ -494,20 +533,67 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     of word-hash bits.  Explode words → 64 conditional sums in ONE groupBy
     (single shuffle of (id, word-hash)).  ``words_col``: pre-tokenized
     array<string> column to use instead of tokenizing ``text_col``."""
+    import pandas as pd
+
     base = F.col(words_col) if words_col else words(F.lower(F.col(text_col)))
     keep = [id_col, words_col or text_col]
     w = _widen(df.select(*keep)).select(F.col(id_col).alias("id"), F.explode(base).alias("w"))
     h = w.select("id", F.xxhash64("w").alias("h"))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = h.groupBy("id").agg(*votes)
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.shiftleft(F.lit(1).cast("long"), i)  # i=63 → Long.MIN_VALUE, well-defined
-        sim = sim.bitwiseOR(F.when(F.col(f"v{i}") > 0, bit).otherwise(F.lit(0).cast("long")))
-    return agg.select("id", sim.alias("simhash"))
+
+    # r6: the per-bit majority vote runs as a segmented numpy reduction in
+    # mapInPandas INSTEAD of a groupBy(id) with 64 conditional sums — after
+    # the widening repartition the explode is narrow, so every doc's rows
+    # are contiguous within one partition and no shuffle is needed at all;
+    # a doc spanning two Arrow batches is handled by carrying its partial
+    # bit counts.  Values are bit-identical: bit i set ⇔ Σ(±1) > 0 ⇔
+    # 2·count_i > n, same xxhash64 word hashes (still computed codegen'd,
+    # JVM-side).  Ids must be integral (the gate's doc ids are longs).
+    def gen(batches):
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        carry_id, carry_cnt, carry_n = None, None, 0
+        pend_ids: list = []
+        pend_sims: list = []
+
+        def flush(doc_id, cnt, n):
+            v = (np.uint64(0) + ((2 * cnt > n).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            pend_ids.append(doc_id)
+            pend_sims.append(np.array([v], dtype=np.uint64).view(np.int64)[0])
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            hv = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+            cnts = np.add.reduceat(bits, starts, axis=0)
+            lens = np.diff(np.concatenate((starts, [len(ids)])))
+            seg_ids = ids[starts]
+            if carry_id is not None:
+                if seg_ids[0] == carry_id:
+                    # fold the carried partial into segment 0, then treat
+                    # every segment uniformly below
+                    cnts[0] = cnts[0] + carry_cnt
+                    lens[0] = lens[0] + carry_n
+                else:
+                    flush(carry_id, carry_cnt, carry_n)
+                carry_id = None
+            # all but the LAST segment are complete docs; the last may
+            # continue into the next batch — hold it as the carry
+            for j in range(len(seg_ids) - 1):
+                flush(seg_ids[j], cnts[j], lens[j])
+            carry_id, carry_cnt, carry_n = seg_ids[-1], cnts[-1], int(lens[-1])
+            if pend_ids:
+                yield pd.DataFrame({"id": pend_ids, "simhash": pend_sims})
+                pend_ids, pend_sims = [], []
+        if carry_id is not None:
+            flush(carry_id, carry_cnt, carry_n)
+        if pend_ids:
+            yield pd.DataFrame({"id": pend_ids, "simhash": pend_sims})
+
+    return h.mapInPandas(gen, schema="id long, simhash long")
 
 
 def simhash_pairs(

@@ -148,3 +148,45 @@ def test_prepare_corpus_composition(spark):
     out = prepare_corpus(docs, "text", "doc_id", langs=("en",),
                          min_quality_bp=0, near_dup_pairs=pairs)
     assert sorted(r.doc_id for r in out.collect()) == [1]
+
+
+def test_numpy_kernels_bit_identical(spark, docs):
+    """r6 internals: the numpy MinHash-signature and simhash kernels must be
+    bit-identical to the JVM Column forms they replaced — including across
+    Arrow batch boundaries (tiny maxRecordsPerBatch exercises the simhash
+    per-partition carry)."""
+    from feathr_online_spark.operators.dedup import (
+        _minhash_sigs_pd,
+        _widen,
+        minhash_signature,
+        simhash64,
+        with_shingle_hashes,
+    )
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        sh = with_shingle_hashes(_widen(docs), "text", 3).select(
+            F.col("doc_id").alias("id"), "shingles"
+        ).filter(F.size("shingles") > 0)
+        jvm_sig = {r.id: list(r.sig) for r in
+                   sh.select("id", minhash_signature(F.col("shingles"), 32).alias("sig")).collect()}
+        np_sig = {r.id: list(r.sig) for r in _minhash_sigs_pd(sh, 32).collect()}
+        assert np_sig == jvm_sig
+
+        # JVM reference simhash: explode + 64 conditional vote sums
+        w = _widen(docs).select(F.col("doc_id").alias("id"),
+                                F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        h = w.filter(F.col("w") != "").select("id", F.xxhash64("w").alias("h"))
+        votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                        .otherwise(-1)).alias(f"v{i}") for i in range(64)]
+        agg = h.groupBy("id").agg(*votes)
+        sim = F.lit(0).cast("long")
+        for i in range(64):
+            bit = F.shiftleft(F.lit(1).cast("long"), i)
+            sim = sim.bitwiseOR(F.when(F.col(f"v{i}") > 0, bit).otherwise(F.lit(0).cast("long")))
+        ref = {r.id: r.s for r in agg.select("id", sim.alias("s")).collect()}
+        got = {r.id: r.simhash for r in simhash64(docs, "text", "doc_id").collect()}
+        assert got == ref
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
